@@ -1,0 +1,151 @@
+"""Headless driver loop — the ``main.zig`` analog.
+
+Startup mirrors main() (SURVEY.md §3.1): parse CLI -> load scene ->
+bake device arrays + BVH (the BLAS/TLAS build boundary) -> compile the
+render pipeline (the RT-pipeline/SBT creation) -> frame loop.  The
+frame loop (SURVEY.md §3.2) becomes: camera-path update -> jitted
+render step -> stats lap -> optional accumulation/checkpoint ->
+present = PNG write.
+
+Run:  python -m vulkan_pathtracer_tpu --scene-path scene.glb [flags]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from vulkan_pathtracer_tpu.app.camera_path import CameraPath
+from vulkan_pathtracer_tpu.models import gltf
+from vulkan_pathtracer_tpu.models.camera import Camera
+from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+from vulkan_pathtracer_tpu.render.output import Accumulator, upsample_nearest
+from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
+from vulkan_pathtracer_tpu.utils.cli import parse_args
+from vulkan_pathtracer_tpu.utils.png import write_png
+from vulkan_pathtracer_tpu.utils.stats import Stats
+from vulkan_pathtracer_tpu.utils.timer import Timer
+
+
+def main(argv=None) -> int:
+    config, args = parse_args(argv)
+
+    import os
+
+    import jax
+
+    # Environment overrides: VKPT_PLATFORM forces a backend even when a
+    # site customization pre-selected one (JAX_PLATFORMS in the env can
+    # be too late once jax is imported at interpreter start);
+    # JAX_COMPILATION_CACHE_DIR-style persistent caching makes repeated
+    # CLI invocations skip recompiles.
+    plat = os.environ.get("VKPT_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("VKPT_COMPILE_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if config.enable_validation:
+        jax.config.update("jax_debug_nans", True)
+
+    print(f"loading scene: {args.scene_path}", file=sys.stderr)
+    scene = gltf.load(args.scene_path)
+    print(
+        f"scene: {len(scene.instances)} instances, "
+        f"{len(scene.primitives)} primitives, "
+        f"{scene.triangle_count} triangles, "
+        f"{len(scene.materials)} materials, {len(scene.textures)} textures",
+        file=sys.stderr,
+    )
+
+    dev = build_device_scene(scene, build_bvh=(config.traversal != "brute"))
+    if config.enable_validation and dev.has_bvh:
+        from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh
+
+        host_bvh = build_bvh_host(
+            np.asarray(dev.tri_v0)[: dev.num_triangles],
+            np.asarray(dev.tri_e1)[: dev.num_triangles],
+            np.asarray(dev.tri_e2)[: dev.num_triangles],
+        )
+        validate_bvh(
+            host_bvh,
+            np.asarray(dev.tri_v0)[: dev.num_triangles][host_bvh.tri_order],
+            np.asarray(dev.tri_e1)[: dev.num_triangles][host_bvh.tri_order],
+            np.asarray(dev.tri_e2)[: dev.num_triangles][host_bvh.tri_order],
+        )
+        print("BVH invariants validated", file=sys.stderr)
+
+    pipeline = RenderPipeline(dev, config)
+
+    camera = Camera(aspect_ratio=config.aspect_ratio)
+    path = CameraPath.load(args.camera_path) if args.camera_path else None
+
+    rays_per_frame = (
+        config.render_width * config.render_height
+        * config.num_samples * config.num_bounces
+    )
+    stats = Stats(rays_per_frame=rays_per_frame,
+                  spp_per_frame=config.num_samples)
+    timer = Timer()
+
+    acc = None
+    start_frame = 0
+    if config.progressive:
+        if args.checkpoint:
+            import os
+
+            if os.path.exists(args.checkpoint):
+                acc = Accumulator.load(args.checkpoint)
+                start_frame = acc.frame
+                print(
+                    f"resumed checkpoint at frame {start_frame} "
+                    f"({acc.spp} spp)", file=sys.stderr,
+                )
+        if acc is None:
+            acc = Accumulator(config.render_width, config.render_height,
+                              config.num_samples)
+
+    image = None
+    for frame in range(start_frame, args.frames):
+        if path is not None:
+            t = path.duration * frame / max(args.frames - 1, 1)
+            path.apply(camera, t)
+        image_dev, rays = pipeline.render(camera, frame)
+        image = np.asarray(image_dev)
+        if acc is not None:
+            acc.add_frame(image)
+            if args.checkpoint and args.checkpoint_interval and (
+                (frame + 1) % args.checkpoint_interval == 0
+            ):
+                acc.save(args.checkpoint)
+        dt = timer.lap()
+        stats.lap(dt, timer.one_second_elapsed,
+                  rays_this_frame=int(float(rays)))
+        if timer.one_second_elapsed:
+            stats.log()
+        if args.save_every and (frame + 1) % args.save_every == 0:
+            _present(acc.mean if acc is not None else image, config,
+                     args.output)
+
+    final = acc.mean if acc is not None else image
+    if final is not None:
+        _present(final, config, args.output)
+        print(f"wrote {args.output}", file=sys.stderr)
+    stats.log()
+    return 0
+
+
+def _present(image: np.ndarray, config, output: str) -> None:
+    """Divider upsample (nearest blit, RaytracingPass.zig:599-635) +
+    unorm8 quantize + PNG."""
+    if config.render_resolution_divider > 1:
+        image = upsample_nearest(image, config.resolution_x,
+                                 config.resolution_y)
+    write_png(output, image)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,323 @@
+"""Flattened device scene: world-space SoA arrays for the TPU.
+
+The reference hands its geometry to the Vulkan driver as BLAS/TLAS
+(RaytracingPass.zig:224-488, Tlas.zig) and fetches attributes in the
+hit shader via buffer device addresses (triangle.glsl:46-112).  The
+TPU-native design instead *bakes* the instance transforms at load
+time, producing one flat world-space triangle soup plus per-vertex
+attribute arrays — a single-level BVH over everything, the best-case
+layout for vectorized traversal (no per-instance transform in the hot
+loop).  Per-frame animation re-bakes transforms + refits the BVH (the
+TLAS-refit analog).
+
+Numeric parity notes (all mirroring triangle.glsl):
+
+- The hit shader transforms normals/tangents by
+  ``v * transpose(inverse(mat3(object_to_world)))`` — row-vector
+  semantics, i.e. column-convention ``inverse(A) @ v``
+  (triangle.glsl:79-97).  We bake exactly that per vertex,
+  unnormalized, so interpolate-then-normalize matches the shader.
+- The geometric normal is ``normalize(cross(p1-p0, p2-p0) * M)`` with
+  *object-space* positions (triangle.glsl:99-107); we bake it per
+  triangle since world-space edge cross products would differ under
+  non-orthogonal transforms.
+- Backface culling (gl_RayFlagsCullBackFacingTrianglesEXT,
+  ray_gen.rgen:53) is applied in the intersector via the
+  Möller–Trumbore determinant sign on *world-space* edges, which
+  matches Vulkan's winding x transform-orientation rule.
+- ``payload.primitive_index = instanceCustomIndex + geometryIndex``
+  (closest_hit.rchit:12) with custom index = the mesh's first
+  primitive (Tlas.zig:43-46): our per-triangle ``primitive`` id is the
+  global primitive index, identical across instances of a mesh.
+
+Arrays are padded to multiples of PAD (lane-friendly) with degenerate
+triangles (zero edges -> det == 0 -> never hit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vulkan_pathtracer_tpu.models.gltf import (
+    INVALID_TEXTURE_INDEX,
+    Scene,
+)
+
+PAD = 128
+
+
+def _pad_rows(arr: np.ndarray, multiple: int, fill=0.0) -> np.ndarray:
+    n = arr.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return arr
+    pad_shape = (target - n,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceScene:
+    """SoA device arrays. Registered as a pytree so it can be passed
+    straight into jitted render functions."""
+
+    # Triangles (world space)
+    tri_v0: jnp.ndarray          # (T, 3) f32
+    tri_e1: jnp.ndarray          # (T, 3) f32  v1 - v0
+    tri_e2: jnp.ndarray          # (T, 3) f32  v2 - v0
+    tri_gn: jnp.ndarray          # (T, 3) f32  baked geometric normal
+    tri_index: jnp.ndarray       # (T, 3) int32 vertex attribute indices
+    tri_material: jnp.ndarray    # (T,) int32
+    tri_primitive: jnp.ndarray   # (T,) int32 global primitive id (payload parity)
+    tri_local: jnp.ndarray       # (T,) int32 triangle index within primitive
+
+    # Vertex attributes (flattened per instance)
+    vert_normal: jnp.ndarray     # (V, 3) f32 inverse(A)-baked, unnormalized
+    vert_tangent: jnp.ndarray    # (V, 4) f32 xyz baked, w passthrough
+    vert_uv: jnp.ndarray         # (V, 2) f32
+
+    # Materials (M,) uint32/int32 SoA — packing parity with material.glsl:7-16.
+    mat_albedo_factor: jnp.ndarray
+    mat_mr_factor: jnp.ndarray
+    mat_emissive_factor: jnp.ndarray
+    mat_albedo_tex: jnp.ndarray      # int32, remapped: 0 = dummy white
+    mat_mr_tex: jnp.ndarray
+    mat_emissive_tex: jnp.ndarray
+    mat_normal_tex: jnp.ndarray
+    mat_has_normal_tex: jnp.ndarray  # bool
+
+    # Textures: one flat texel pool (uint8 RGBA), index 0 = 1x1 white.
+    tex_texels: jnp.ndarray      # (P, 4) uint8
+    tex_offset: jnp.ndarray      # (NT,) int32 into texel pool
+    tex_width: jnp.ndarray       # (NT,) int32
+    tex_height: jnp.ndarray      # (NT,) int32
+
+    # BVH (filled by ops.bvh.build_scene_bvh; None => brute force only)
+    bvh_bmin: Optional[jnp.ndarray] = None   # (Nn, 3) f32
+    bvh_bmax: Optional[jnp.ndarray] = None   # (Nn, 3) f32
+    bvh_skip: Optional[jnp.ndarray] = None   # (Nn,) int32 escape pointer
+    bvh_leaf_first: Optional[jnp.ndarray] = None  # (Nn,) int32 (-1 internal)
+    bvh_leaf_count: Optional[jnp.ndarray] = None  # (Nn,) int32
+
+    num_triangles: int = 0  # un-padded triangle count (static aux)
+
+    # -- pytree plumbing -----------------------------------------------------
+    _ARRAY_FIELDS = (
+        "tri_v0", "tri_e1", "tri_e2", "tri_gn", "tri_index", "tri_material",
+        "tri_primitive", "tri_local", "vert_normal", "vert_tangent",
+        "vert_uv", "mat_albedo_factor", "mat_mr_factor",
+        "mat_emissive_factor", "mat_albedo_tex", "mat_mr_tex",
+        "mat_emissive_tex", "mat_normal_tex", "mat_has_normal_tex",
+        "tex_texels", "tex_offset", "tex_width", "tex_height",
+        "bvh_bmin", "bvh_bmax", "bvh_skip", "bvh_leaf_first",
+        "bvh_leaf_count",
+    )
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
+        return children, (self.num_triangles,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kwargs = dict(zip(cls._ARRAY_FIELDS, children))
+        return cls(num_triangles=aux[0], **kwargs)
+
+    @property
+    def has_bvh(self) -> bool:
+        return self.bvh_bmin is not None
+
+
+def _bake_instance(scene: Scene, inst, prims_out: dict, vert_base: int) -> int:
+    """Append one instance's triangles/vertices in world space."""
+    M = inst.transform.astype(np.float64)
+    A = M[:3, :3]
+    t = M[:3, 3]
+    # triangle.glsl:79: normal_world_matrix as row-mult == inverse(A) @ v.
+    N = np.linalg.inv(A)
+
+    mesh = scene.meshes[inst.mesh_index]
+    for prim_global in range(mesh.start, mesh.end):
+        prim = scene.primitives[prim_global]
+        pos_w = (prim.positions.astype(np.float64) @ A.T + t).astype(np.float32)
+        nrm_w = (prim.normals.astype(np.float64) @ N.T).astype(np.float32)
+        tan_w = prim.tangents.copy()
+        tan_w[:, :3] = (prim.tangents[:, :3].astype(np.float64) @ N.T).astype(
+            np.float32
+        )
+
+        idx = prim.indices.reshape(-1, 3).astype(np.int64)
+        v0 = pos_w[idx[:, 0]]
+        v1 = pos_w[idx[:, 1]]
+        v2 = pos_w[idx[:, 2]]
+        # Object-space edge cross, then inverse(A), per triangle.glsl:99-107.
+        obj = prim.positions.astype(np.float64)
+        e1o = obj[idx[:, 1]] - obj[idx[:, 0]]
+        e2o = obj[idx[:, 2]] - obj[idx[:, 0]]
+        gn = np.cross(e1o, e2o) @ N.T
+        norm = np.linalg.norm(gn, axis=1, keepdims=True)
+        gn = (gn / np.maximum(norm, 1e-30)).astype(np.float32)
+
+        tcount = idx.shape[0]
+        prims_out["tri_v0"].append(v0)
+        prims_out["tri_e1"].append(v1 - v0)
+        prims_out["tri_e2"].append(v2 - v0)
+        prims_out["tri_gn"].append(gn)
+        prims_out["tri_index"].append((idx + vert_base).astype(np.int32))
+        prims_out["tri_material"].append(
+            np.full(tcount, prim.material_index, dtype=np.int32)
+        )
+        prims_out["tri_primitive"].append(
+            np.full(tcount, prim_global, dtype=np.int32)
+        )
+        prims_out["tri_local"].append(np.arange(tcount, dtype=np.int32))
+        prims_out["vert_normal"].append(nrm_w)
+        prims_out["vert_tangent"].append(tan_w)
+        prims_out["vert_uv"].append(prim.uvs)
+        vert_base += prim.positions.shape[0]
+    return vert_base
+
+
+def build_device_scene(scene: Scene, build_bvh: bool = True,
+                       max_leaf_size: int = 4) -> DeviceScene:
+    """Bake a host Scene into device SoA arrays (and optionally a BVH)."""
+    acc = {k: [] for k in (
+        "tri_v0", "tri_e1", "tri_e2", "tri_gn", "tri_index", "tri_material",
+        "tri_primitive", "tri_local", "vert_normal", "vert_tangent",
+        "vert_uv",
+    )}
+    vert_base = 0
+    for inst in scene.instances:
+        vert_base = _bake_instance(scene, inst, acc, vert_base)
+
+    def cat(key, dtype, cols):
+        if acc[key]:
+            return np.concatenate(acc[key]).astype(dtype).reshape(-1, cols) \
+                if cols > 1 else np.concatenate(acc[key]).astype(dtype)
+        return (np.zeros((0, cols), dtype=dtype) if cols > 1
+                else np.zeros((0,), dtype=dtype))
+
+    tri_v0 = cat("tri_v0", np.float32, 3)
+    tri_e1 = cat("tri_e1", np.float32, 3)
+    tri_e2 = cat("tri_e2", np.float32, 3)
+    tri_gn = cat("tri_gn", np.float32, 3)
+    tri_index = cat("tri_index", np.int32, 3)
+    tri_material = cat("tri_material", np.int32, 1)
+    tri_primitive = cat("tri_primitive", np.int32, 1)
+    tri_local = cat("tri_local", np.int32, 1)
+    vert_normal = cat("vert_normal", np.float32, 3)
+    vert_tangent = cat("vert_tangent", np.float32, 4)
+    vert_uv = cat("vert_uv", np.float32, 2)
+
+    num_triangles = tri_v0.shape[0]
+
+    bvh = None
+    tri_order = None
+    if build_bvh and num_triangles > 0:
+        from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host
+
+        bvh = build_bvh_host(tri_v0, tri_e1, tri_e2, max_leaf_size=max_leaf_size)
+        tri_order = bvh.tri_order
+        # Reorder triangles into BVH leaf order so leaves address
+        # contiguous ranges (coherent gathers in traversal).
+        tri_v0 = tri_v0[tri_order]
+        tri_e1 = tri_e1[tri_order]
+        tri_e2 = tri_e2[tri_order]
+        tri_gn = tri_gn[tri_order]
+        tri_index = tri_index[tri_order]
+        tri_material = tri_material[tri_order]
+        tri_primitive = tri_primitive[tri_order]
+        tri_local = tri_local[tri_order]
+
+    # Pad triangles with degenerates (zero edges => det == 0 => no hit).
+    tri_v0 = _pad_rows(tri_v0, PAD)
+    tri_e1 = _pad_rows(tri_e1, PAD)
+    tri_e2 = _pad_rows(tri_e2, PAD)
+    tri_gn = _pad_rows(tri_gn, PAD)
+    tri_index = _pad_rows(tri_index, PAD)
+    tri_material = _pad_rows(tri_material, PAD)
+    tri_primitive = _pad_rows(tri_primitive, PAD)
+    tri_local = _pad_rows(tri_local, PAD)
+
+    if vert_normal.shape[0] == 0:
+        vert_normal = np.zeros((1, 3), np.float32)
+        vert_tangent = np.zeros((1, 4), np.float32)
+        vert_uv = np.zeros((1, 2), np.float32)
+
+    # Materials SoA; texture indices remapped (+1, 0 = dummy white).
+    mats = scene.materials
+    if len(mats) == 0:
+        import numpy.lib.recfunctions  # noqa: F401
+        from vulkan_pathtracer_tpu.models.gltf import MATERIAL_DTYPE
+
+        mats = np.zeros(1, dtype=MATERIAL_DTYPE)
+        mats["albedo_factor"] = 0x00FFFFFF
+        mats["metal_roughness_factor"] = 0x00FFFF00
+        mats["albedo_texture_index"] = INVALID_TEXTURE_INDEX
+        mats["metal_roughness_texture_index"] = INVALID_TEXTURE_INDEX
+        mats["emissive_texture_index"] = INVALID_TEXTURE_INDEX
+        mats["normal_texture_index"] = INVALID_TEXTURE_INDEX
+
+    def remap(field):
+        raw = mats[field].astype(np.int64)
+        return np.where(raw == INVALID_TEXTURE_INDEX, 0, raw + 1).astype(np.int32)
+
+    # Texel pool: dummy white first.
+    texels = [np.full((1, 4), 255, dtype=np.uint8)]
+    offsets = [0]
+    widths = [1]
+    heights = [1]
+    cursor = 1
+    for tex in scene.textures:
+        flat = tex.data.reshape(-1, 4)
+        texels.append(flat)
+        offsets.append(cursor)
+        widths.append(tex.width)
+        heights.append(tex.height)
+        cursor += flat.shape[0]
+    tex_texels = np.concatenate(texels)
+
+    dev = DeviceScene(
+        tri_v0=jnp.asarray(tri_v0),
+        tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2),
+        tri_gn=jnp.asarray(tri_gn),
+        tri_index=jnp.asarray(tri_index),
+        tri_material=jnp.asarray(tri_material),
+        tri_primitive=jnp.asarray(tri_primitive),
+        tri_local=jnp.asarray(tri_local),
+        vert_normal=jnp.asarray(vert_normal),
+        vert_tangent=jnp.asarray(vert_tangent),
+        vert_uv=jnp.asarray(vert_uv),
+        mat_albedo_factor=jnp.asarray(mats["albedo_factor"].astype(np.uint32)),
+        mat_mr_factor=jnp.asarray(
+            mats["metal_roughness_factor"].astype(np.uint32)
+        ),
+        mat_emissive_factor=jnp.asarray(
+            mats["emissive_factor"].astype(np.uint32)
+        ),
+        mat_albedo_tex=jnp.asarray(remap("albedo_texture_index")),
+        mat_mr_tex=jnp.asarray(remap("metal_roughness_texture_index")),
+        mat_emissive_tex=jnp.asarray(remap("emissive_texture_index")),
+        mat_normal_tex=jnp.asarray(remap("normal_texture_index")),
+        mat_has_normal_tex=jnp.asarray(
+            mats["normal_texture_index"].astype(np.int64) != INVALID_TEXTURE_INDEX
+        ),
+        tex_texels=jnp.asarray(tex_texels),
+        tex_offset=jnp.asarray(np.asarray(offsets, dtype=np.int32)),
+        tex_width=jnp.asarray(np.asarray(widths, dtype=np.int32)),
+        tex_height=jnp.asarray(np.asarray(heights, dtype=np.int32)),
+        num_triangles=num_triangles,
+    )
+
+    if bvh is not None:
+        dev.bvh_bmin = jnp.asarray(bvh.bmin)
+        dev.bvh_bmax = jnp.asarray(bvh.bmax)
+        dev.bvh_skip = jnp.asarray(bvh.skip)
+        dev.bvh_leaf_first = jnp.asarray(bvh.leaf_first)
+        dev.bvh_leaf_count = jnp.asarray(bvh.leaf_count)
+    return dev

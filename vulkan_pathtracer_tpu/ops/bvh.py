@@ -1,0 +1,192 @@
+"""BVH build: Morton-ordered binary BVH, linearized with skip pointers.
+
+The reference never builds a BVH — the Vulkan driver does it inside
+``vkCmdBuildAccelerationStructuresKHR`` (RaytracingPass.zig:451-465,
+``prefer_fast_trace``).  On TPU the acceleration structure is ours to
+design.  This builder is LBVH-flavored:
+
+1. 30-bit Morton codes of triangle-centroid positions, normalized to
+   the scene AABB (the classic LBVH keying).
+2. Sort triangles by code; recursively split ranges at the highest
+   differing Morton bit (median fallback on duplicate codes), making
+   leaves of <= max_leaf_size contiguous triangles.
+3. Emit nodes in DFS preorder and store a *skip pointer* (escape
+   index) per node.  Traversal then needs no stack: ``hit -> node+1``,
+   ``miss/leaf-done -> skip[node]`` — one int of state per ray, which
+   is exactly what a (8,128)-lane vector machine wants (SURVEY.md §7
+   "hard parts #1").
+
+Leaf triangle ranges are contiguous because the caller reorders the
+triangle arrays by ``tri_order``, so leaf intersection is a short
+dense dynamic-slice, not a gather.
+
+The builder itself is host-side NumPy (vectorized per node); a C++
+port in native/ can replace it transparently.  For animated scenes
+``refit_aabbs`` recomputes bounds on-device with fixed topology (the
+TLAS-refit analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class HostBVH:
+    bmin: np.ndarray        # (Nn, 3) f32
+    bmax: np.ndarray        # (Nn, 3) f32
+    skip: np.ndarray        # (Nn,) int32 — escape target (Nn == done)
+    leaf_first: np.ndarray  # (Nn,) int32 — -1 for internal nodes
+    leaf_count: np.ndarray  # (Nn,) int32
+    tri_order: np.ndarray   # (T,) int64 — new -> old triangle permutation
+    # parent/child links for device refit:
+    left_child: np.ndarray  # (Nn,) int32 (-1 for leaves)
+    right_child: np.ndarray  # (Nn,) int32
+
+    @property
+    def node_count(self) -> int:
+        return self.bmin.shape[0]
+
+
+def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10 bits per axis -> 30-bit codes (uint32)."""
+
+    def expand(v):
+        v = v.astype(np.uint64) & np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+
+    return (expand(x) | (expand(y) << np.uint64(1)) | (expand(z) << np.uint64(2))).astype(np.uint32)
+
+
+def _morton_codes(centroids: np.ndarray) -> np.ndarray:
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((centroids - lo) / extent) * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    return morton3d(q[:, 0], q[:, 1], q[:, 2])
+
+
+def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
+                   max_leaf_size: int = 4) -> HostBVH:
+    t = tri_v0.shape[0]
+    v0 = tri_v0.astype(np.float64)
+    v1 = v0 + tri_e1
+    v2 = v0 + tri_e2
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    centroids = (tmin + tmax) * 0.5
+
+    codes = _morton_codes(centroids)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    tmin = tmin[order]
+    tmax = tmax[order]
+
+    # Prefix min/max would cost memory; per-node slicing is O(n log n)
+    # and fast enough in NumPy for scene-scale T.
+    bmin_l: list = []
+    bmax_l: list = []
+    skip_l: list = []
+    leaf_first_l: list = []
+    leaf_count_l: list = []
+    left_l: list = []
+    right_l: list = []
+
+    def find_split(start: int, end: int) -> int:
+        """Highest-differing-bit split (LBVH), median fallback."""
+        first = codes[start]
+        last = codes[end - 1]
+        if first == last:
+            return (start + end) // 2
+        # Most significant differing bit.
+        common = int(first ^ last)
+        split_bit = common.bit_length() - 1
+        mask = np.uint32(1 << split_bit)
+        # First index in [start, end) where the bit flips on.
+        seg = codes[start:end] & mask
+        idx = int(np.searchsorted(seg, 1))  # seg is 0...0 1...1
+        split = start + idx
+        if split <= start or split >= end:
+            return (start + end) // 2
+        return split
+
+    # Iterative preorder emission. Stack entries: (start, end, parent, is_right)
+    # We fill skip pointers afterwards from subtree sizes via parent links.
+    import sys
+
+    sys.setrecursionlimit(10000)
+
+    def emit(start: int, end: int) -> int:
+        node = len(bmin_l)
+        bmin_l.append(tmin[start:end].min(axis=0))
+        bmax_l.append(tmax[start:end].max(axis=0))
+        skip_l.append(0)          # filled below
+        if end - start <= max_leaf_size:
+            leaf_first_l.append(start)
+            leaf_count_l.append(end - start)
+            left_l.append(-1)
+            right_l.append(-1)
+        else:
+            leaf_first_l.append(-1)
+            leaf_count_l.append(0)
+            left_l.append(0)
+            right_l.append(0)
+            split = find_split(start, end)
+            left_l[node] = emit(start, split)
+            right_l[node] = emit(split, end)
+        skip_l[node] = len(bmin_l)  # preorder: escape == index after subtree
+        return node
+
+    if t > 0:
+        emit(0, t)
+
+    n = len(bmin_l)
+    return HostBVH(
+        bmin=np.asarray(bmin_l, dtype=np.float32).reshape(n, 3),
+        bmax=np.asarray(bmax_l, dtype=np.float32).reshape(n, 3),
+        skip=np.asarray(skip_l, dtype=np.int32),
+        leaf_first=np.asarray(leaf_first_l, dtype=np.int32),
+        leaf_count=np.asarray(leaf_count_l, dtype=np.int32),
+        tri_order=order,
+        left_child=np.asarray(left_l, dtype=np.int32),
+        right_child=np.asarray(right_l, dtype=np.int32),
+    )
+
+
+def validate_bvh(bvh: HostBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
+                 tri_e2: np.ndarray) -> None:
+    """Invariant checks (test support / --enable-validation):
+
+    - every triangle is covered by exactly one leaf range
+    - each node's AABB contains its triangles (and its children's AABBs)
+    - skip pointers are strictly increasing escape targets
+    """
+    n = bvh.node_count
+    t = tri_v0.shape[0]
+    covered = np.zeros(t, dtype=np.int32)
+    v0 = tri_v0
+    v1 = v0 + tri_e1
+    v2 = v0 + tri_e2
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    eps = 1e-4
+    for node in range(n):
+        first = bvh.leaf_first[node]
+        if first >= 0:
+            count = bvh.leaf_count[node]
+            covered[first:first + count] += 1
+            assert (tmin[first:first + count] >= bvh.bmin[node] - eps).all()
+            assert (tmax[first:first + count] <= bvh.bmax[node] + eps).all()
+        else:
+            l, r = bvh.left_child[node], bvh.right_child[node]
+            for c in (l, r):
+                assert (bvh.bmin[c] >= bvh.bmin[node] - eps).all()
+                assert (bvh.bmax[c] <= bvh.bmax[node] + eps).all()
+        assert node < bvh.skip[node] <= n
+    assert (covered == 1).all(), "leaf ranges must cover each triangle once"

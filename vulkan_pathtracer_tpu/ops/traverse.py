@@ -1,0 +1,136 @@
+"""Stackless BVH traversal over skip-pointer-linearized nodes.
+
+This is the TPU replacement for the hardware TLAS traversal the
+reference gets from ``traceRayEXT`` (ray_gen.rgen:50-63).  Design
+(SURVEY.md §7 hard-part #1): TPUs are (8,128)-lane vector machines
+with no per-lane program counters, so per-ray traversal state must be
+O(1) registers, not a stack.  Skip-pointer (escape-index) traversal
+gives exactly that:
+
+    state      = one int32 node cursor per ray
+    box hit    -> cursor + 1          (preorder: first child)
+    miss/leaf  -> skip[cursor]        (escape the subtree)
+    done       <=> cursor == n_nodes
+
+Every while-loop iteration advances *all* rays by one node: an AABB
+slab test (VPU elementwise) plus, for rays sitting on a leaf, a
+max_leaf_size-unrolled Möller–Trumbore against the leaf's contiguous
+triangle range.  Rays that finish early idle until the slowest ray in
+the dispatch finishes — ray chunking + Morton ray sorting (see
+render.wavefront) bound that waste.
+
+All node/triangle fetches are `jnp.take` gathers over SoA arrays in
+HBM; XLA vectorizes them. A Pallas kernel with VMEM-cached top levels
+is the planned next optimization step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vulkan_pathtracer_tpu.ops.intersect import (
+    MISS_T,
+    TMAX,
+    TMIN,
+    Hit,
+    moller_trumbore,
+)
+
+
+def _safe_inv(d):
+    eps = jnp.float32(1e-20)
+    return 1.0 / jnp.where(
+        jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d
+    )
+
+
+def bvh_closest_hit(scene, origin, direction, active=None,
+                    tmin=TMIN, tmax=TMAX, max_leaf_size: int = 4) -> Hit:
+    """Closest-hit query for a batch of rays against scene's BVH.
+
+    scene: DeviceScene with bvh_* arrays present.
+    origin, direction: (N, 3) f32. active: optional (N,) bool.
+    """
+    n = origin.shape[0]
+    n_nodes = scene.bvh_skip.shape[0]
+    done_sentinel = jnp.int32(n_nodes)
+
+    inv_d = _safe_inv(direction)
+
+    node0 = jnp.zeros((n,), dtype=jnp.int32)
+    if active is not None:
+        node0 = jnp.where(active, node0, done_sentinel)
+
+    t0 = jnp.full((n,), MISS_T, dtype=jnp.float32)
+    tri0 = jnp.full((n,), -1, dtype=jnp.int32)
+    u0 = jnp.zeros((n,), dtype=jnp.float32)
+    v0_ = jnp.zeros((n,), dtype=jnp.float32)
+
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+
+    def cond(state):
+        node, *_ = state
+        return jnp.any(node < done_sentinel)
+
+    def body(state):
+        node, t_best, tri_best, u_best, v_best = state
+        live = node < done_sentinel
+        nd = jnp.minimum(node, done_sentinel - 1)
+
+        bmin = jnp.take(scene.bvh_bmin, nd, axis=0)
+        bmax = jnp.take(scene.bvh_bmax, nd, axis=0)
+        skip = jnp.take(scene.bvh_skip, nd, axis=0)
+        leaf_first = jnp.take(scene.bvh_leaf_first, nd, axis=0)
+        leaf_count = jnp.take(scene.bvh_leaf_count, nd, axis=0)
+
+        # Slab test against [tmin, min(t_best, tmax)].
+        tx0 = (bmin[:, 0] - ox) * ix
+        tx1 = (bmax[:, 0] - ox) * ix
+        ty0 = (bmin[:, 1] - oy) * iy
+        ty1 = (bmax[:, 1] - oy) * iy
+        tz0 = (bmin[:, 2] - oz) * iz
+        tz1 = (bmax[:, 2] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
+        )
+        t_limit = jnp.minimum(t_best, jnp.float32(tmax))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), t_limit),
+        )
+        box_hit = live & (tn <= tf)
+
+        is_leaf = leaf_first >= 0
+        do_leaf = box_hit & is_leaf
+
+        # Leaf: static-unrolled MT over <= max_leaf_size contiguous tris.
+        for k in range(max_leaf_size):
+            ti = jnp.minimum(
+                leaf_first + k, scene.tri_v0.shape[0] - 1
+            )
+            valid = do_leaf & (k < leaf_count)
+            tv0 = jnp.take(scene.tri_v0, ti, axis=0)
+            te1 = jnp.take(scene.tri_e1, ti, axis=0)
+            te2 = jnp.take(scene.tri_e2, ti, axis=0)
+            t_lim = jnp.minimum(t_best, jnp.float32(tmax))
+            hit, t, u, v = moller_trumbore(
+                origin, direction, tv0, te1, te2, tmin, t_lim
+            )
+            take = valid & hit
+            t_best = jnp.where(take, t, t_best)
+            tri_best = jnp.where(take, ti.astype(jnp.int32), tri_best)
+            u_best = jnp.where(take, u, u_best)
+            v_best = jnp.where(take, v, v_best)
+
+        descend = box_hit & ~is_leaf
+        next_node = jnp.where(descend, node + 1, skip)
+        node = jnp.where(live, next_node, node)
+        return node, t_best, tri_best, u_best, v_best
+
+    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+        cond, body, (node0, t0, tri0, u0, v0_)
+    )
+    return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best)

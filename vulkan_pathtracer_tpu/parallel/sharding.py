@@ -1,0 +1,115 @@
+"""Sharded rendering: framebuffer tiling across a device mesh.
+
+Image-space data parallelism (SURVEY.md §2 parallelism checklist):
+the scene is replicated to every chip, the framebuffer is tiled along
+rows, and each device runs the full wavefront loop on its tile under
+``shard_map``.  The output carries a row-sharded ``NamedSharding``;
+XLA's all-gather over ICI materializes the full frame only when the
+host (or a downstream replicated op) asks for it.
+
+An alternative ``mode="spp"`` shards *samples* instead: every device
+renders the full frame with a decorrelated frame seed and radiance is
+``psum``-averaged across the mesh — useful when the image is small but
+spp is large (time-to-converged-frame metric).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from vulkan_pathtracer_tpu.models.device_scene import DeviceScene
+from vulkan_pathtracer_tpu.parallel.mesh import TILE_AXIS
+from vulkan_pathtracer_tpu.render.pipeline import render_rows
+
+
+def make_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
+                        num_samples: int, num_bounces: int,
+                        width: int, height: int, traversal: str = "bvh",
+                        russian_roulette: bool = False,
+                        rr_start_bounce: int = 2, mode: str = "tiles"):
+    """Build a jitted sharded frame function.
+
+    Returns fn(scene, position, horizontal, vertical, forward, frame)
+    -> ((H, W, 3) row-sharded radiance, rays_traced_total).
+    """
+    n_dev = mesh.devices.size
+    if height % n_dev != 0:
+        raise ValueError(
+            f"height {height} must be divisible by mesh size {n_dev}"
+        )
+    rows_per_device = height // n_dev
+
+    replicated = P()
+    scene_spec = jax.tree_util.tree_map(lambda _: replicated, scene_example)
+
+    if mode == "tiles":
+        def tile_fn(scene, position, horizontal, vertical, forward, frame):
+            tile = jax.lax.axis_index(TILE_AXIS)
+            y0 = tile.astype(jnp.uint32) * jnp.uint32(rows_per_device)
+            image, rays = render_rows(
+                scene, position, horizontal, vertical, forward, frame,
+                num_samples=num_samples, num_bounces=num_bounces,
+                width=width, height=height,
+                y_offset=y0, rows=rows_per_device,
+                traversal=traversal, russian_roulette=russian_roulette,
+                rr_start_bounce=rr_start_bounce,
+            )
+            rays = jax.lax.psum(rays, TILE_AXIS)
+            return image, rays
+
+        sharded = shard_map(
+            tile_fn,
+            mesh=mesh,
+            in_specs=(scene_spec, replicated, replicated, replicated,
+                      replicated, replicated),
+            out_specs=(P(TILE_AXIS), replicated),
+            check_vma=False,
+        )
+    elif mode == "spp":
+        def spp_fn(scene, position, horizontal, vertical, forward, frame):
+            # Decorrelate each device's sample set via the frame seed
+            # (frame_count is only an RNG seed in the reference too,
+            # ray_gen.rgen:41 / main.zig:269).
+            dev = jax.lax.axis_index(TILE_AXIS).astype(jnp.uint32)
+            image, rays = render_rows(
+                scene, position, horizontal, vertical, forward,
+                frame * jnp.uint32(mesh.devices.size) + dev,
+                num_samples=num_samples, num_bounces=num_bounces,
+                width=width, height=height,
+                traversal=traversal, russian_roulette=russian_roulette,
+                rr_start_bounce=rr_start_bounce,
+            )
+            image = jax.lax.pmean(image, TILE_AXIS)
+            rays = jax.lax.psum(rays, TILE_AXIS)
+            return image, rays
+
+        sharded = shard_map(
+            spp_fn,
+            mesh=mesh,
+            in_specs=(scene_spec, replicated, replicated, replicated,
+                      replicated, replicated),
+            out_specs=(replicated, replicated),
+            check_vma=False,
+        )
+    else:
+        raise ValueError(f"unknown mode {mode}")
+
+    return jax.jit(sharded)
+
+
+def replicate_scene(scene: DeviceScene, mesh: Mesh) -> DeviceScene:
+    """Place every scene array replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding)
+
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    return jax.tree_util.tree_unflatten(treedef, [put(l) for l in leaves])

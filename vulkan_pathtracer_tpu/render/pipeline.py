@@ -1,0 +1,177 @@
+"""Compiled render pipeline — the RT-pipeline + SBT analog.
+
+The reference burns NUM_SAMPLES/NUM_BOUNCES into SPIR-V specialization
+constants at pipeline creation (RayTracingPipeline.zig:286-320) and
+passes camera + frame_count as push constants each frame
+(ray_gen.rgen:23-29).  Here the split is identical under XLA:
+
+- static (recompile on change): samples, bounces, render resolution,
+  traversal mode, RR — the RenderConfig.static_key().
+- traced (per-call): camera position/horizontal/vertical/forward and
+  the frame counter.
+
+``RenderPipeline.render(camera, frame)`` returns linear radiance
+(H, W, 3) f32 on device plus the number of rays actually traced
+(for Mrays/s stats).
+
+Sample iteration uses ``lax.scan`` with the pcg2d state as carry so
+every sample continues the *same* per-pixel random stream as the
+reference's inner sample loop (ray_gen.rgen:44).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vulkan_pathtracer_tpu.models.camera import Camera
+from vulkan_pathtracer_tpu.models.device_scene import DeviceScene
+from vulkan_pathtracer_tpu.ops import rng
+from vulkan_pathtracer_tpu.ops.vecmath import normalize
+from vulkan_pathtracer_tpu.render.wavefront import trace_sample
+from vulkan_pathtracer_tpu.utils.config import RenderConfig
+
+
+def generate_rays(position, horizontal, vertical, forward,
+                  width: int, height: int, y_offset=0, rows: int = None):
+    """Primary rays — ray_gen.rgen:34-48.
+
+    Renders image rows [y_offset, y_offset + rows) of a (height, width)
+    launch (rows defaults to height); NDC is always computed against
+    the full launch size, so sharded tiles compose exactly.
+    Returns (origin (N,3), direction (N,3)) with N = rows*W, row-major.
+    """
+    if rows is None:
+        rows = height
+    ys = jnp.arange(rows, dtype=jnp.float32) + jnp.asarray(
+        y_offset, jnp.float32
+    )
+    xs = jnp.arange(width, dtype=jnp.float32)
+    px = (xs + 0.5) / jnp.float32(width) * 2.0 - 1.0   # d.x
+    py = (ys + 0.5) / jnp.float32(height) * 2.0 - 1.0  # d.y
+    dx = jnp.tile(px[None, :], (rows, 1)).reshape(-1)
+    dy = jnp.repeat(py, width)
+    direction = normalize(
+        forward[None, :]
+        + horizontal[None, :] * dx[:, None]
+        - vertical[None, :] * dy[:, None]
+    )
+    origin = jnp.broadcast_to(position[None, :], direction.shape)
+    return origin, direction
+
+
+def _pixel_seeds(width: int, height: int, frame, y_offset=0,
+                 rows: int = None):
+    if rows is None:
+        rows = height
+    xs = jnp.arange(width, dtype=jnp.uint32)
+    ys = jnp.arange(rows, dtype=jnp.uint32) + jnp.asarray(
+        y_offset, jnp.uint32
+    )
+    px = jnp.tile(xs[None, :], (rows, 1)).reshape(-1)
+    py = jnp.repeat(ys, width)
+    return rng.prng_seed(px, py, frame)
+
+
+def render_rows(scene: DeviceScene, position, horizontal, vertical,
+                forward, frame, *, num_samples: int, num_bounces: int,
+                width: int, height: int, y_offset=0, rows: int = None,
+                traversal: str = "auto", russian_roulette: bool = False,
+                rr_start_bounce: int = 2):
+    """Render image rows [y_offset, y_offset+rows): the shared core of
+    the single-chip frame and the per-device tile under shard_map."""
+    if rows is None:
+        rows = height
+    origin, direction = generate_rays(
+        position, horizontal, vertical, forward, width, height,
+        y_offset=y_offset, rows=rows,
+    )
+    seed_x, seed_y = _pixel_seeds(width, height, frame,
+                                  y_offset=y_offset, rows=rows)
+
+    def sample_body(carry, _):
+        sx, sy, acc, rays = carry
+        color, sx, sy, traced = trace_sample(
+            scene, origin, direction, sx, sy,
+            num_bounces=num_bounces,
+            traversal=traversal,
+            russian_roulette=russian_roulette,
+            rr_start_bounce=rr_start_bounce,
+        )
+        return (sx, sy, acc + color, rays + traced), None
+
+    init = (
+        seed_x,
+        seed_y,
+        jnp.zeros((rows * width, 3), dtype=jnp.float32),
+        jnp.float32(0.0),
+    )
+    if num_samples == 1:
+        (_, _, acc, rays), _ = sample_body(init, None)
+    else:
+        (_, _, acc, rays), _ = jax.lax.scan(
+            sample_body, init, None, length=num_samples
+        )
+    image = (acc / jnp.float32(num_samples)).reshape(rows, width, 3)
+    return image, rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "num_bounces", "width", "height", "traversal",
+        "russian_roulette", "rr_start_bounce",
+    ),
+)
+def render_frame(scene: DeviceScene, position, horizontal, vertical,
+                 forward, frame, *, num_samples: int, num_bounces: int,
+                 width: int, height: int, traversal: str = "auto",
+                 russian_roulette: bool = False, rr_start_bounce: int = 2):
+    """One full frame: (H, W, 3) f32 linear radiance + rays traced."""
+    return render_rows(
+        scene, position, horizontal, vertical, forward, frame,
+        num_samples=num_samples, num_bounces=num_bounces,
+        width=width, height=height, traversal=traversal,
+        russian_roulette=russian_roulette, rr_start_bounce=rr_start_bounce,
+    )
+
+
+class RenderPipeline:
+    """Holds the scene + config and renders frames (the analog of
+    RaytracingPass + RayTracingPipeline)."""
+
+    def __init__(self, scene: DeviceScene, config: RenderConfig):
+        self.scene = scene
+        self.config = config
+        self.width = config.render_width
+        self.height = config.render_height
+        traversal = config.traversal
+        if traversal == "auto":
+            traversal = "bvh" if scene.has_bvh else "brute"
+        self._traversal = traversal
+
+    def render(self, camera: Camera, frame: int) -> Tuple[jnp.ndarray, float]:
+        position, horizontal, vertical, forward = (
+            jnp.asarray(v) for v in camera.push_constants()
+        )
+        image, rays = render_frame(
+            self.scene,
+            position, horizontal, vertical, forward,
+            jnp.uint32(frame),
+            num_samples=self.config.num_samples,
+            num_bounces=self.config.num_bounces,
+            width=self.width,
+            height=self.height,
+            traversal=self._traversal,
+            russian_roulette=self.config.russian_roulette,
+            rr_start_bounce=self.config.rr_start_bounce,
+        )
+        return image, rays
+
+    def render_numpy(self, camera: Camera, frame: int):
+        image, rays = self.render(camera, frame)
+        return np.asarray(image), float(rays)

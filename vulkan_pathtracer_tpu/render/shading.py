@@ -1,0 +1,130 @@
+"""Hit-point attribute fetch + material evaluation.
+
+JAX re-design of the reference's hit shading data path:
+
+- ``get_triangle_data`` == triangle.glsl:46-112 — barycentric
+  interpolation of uv/normal/tangent over SoA vertex arrays (the
+  buffer-device-address fetches become batched gathers), with
+  normals/tangents already baked to world space at load
+  (models.device_scene) so only interpolate + normalize remains.
+- ``get_material_data`` == material.glsl:31-68 — RGBA8 factor unpack,
+  factor x texture modulation, TBN normal mapping with tangent.w
+  handedness.  "No texture" lanes sample the 1x1 white dummy (exact
+  multiply-by-one), except the normal map which keeps a boolean mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vulkan_pathtracer_tpu.ops.packing import unpack_unorm4x8
+from vulkan_pathtracer_tpu.ops.texture import sample_bilinear
+from vulkan_pathtracer_tpu.ops.vecmath import cross, normalize
+
+
+class TriangleData(NamedTuple):
+    uv: jnp.ndarray               # (N, 2)
+    normal: jnp.ndarray           # (N, 3) shading normal (world)
+    tangent: jnp.ndarray          # (N, 4) xyz world + w handedness
+    geometry_normal: jnp.ndarray  # (N, 3)
+    material_index: jnp.ndarray   # (N,) int32
+    primitive_index: jnp.ndarray  # (N,) int32 (payload parity)
+    triangle_index: jnp.ndarray   # (N,) int32 (payload parity)
+
+
+class MaterialData(NamedTuple):
+    albedo: jnp.ndarray    # (N, 4)
+    normal: jnp.ndarray    # (N, 3)
+    emissive: jnp.ndarray  # (N, 3)
+    roughness: jnp.ndarray  # (N,)
+    metallic: jnp.ndarray   # (N,)
+
+
+def get_triangle_data(scene, hit) -> TriangleData:
+    """Gather + interpolate hit attributes (triangle.glsl:46-112).
+
+    Lanes with hit.tri < 0 produce garbage-but-finite values; callers
+    mask on the hit flag.
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    idx = jnp.take(scene.tri_index, tri, axis=0)  # (N, 3)
+    w1 = hit.u
+    w2 = hit.v
+    w0 = 1.0 - w1 - w2
+
+    def interp(arr):
+        a0 = jnp.take(arr, idx[:, 0], axis=0)
+        a1 = jnp.take(arr, idx[:, 1], axis=0)
+        a2 = jnp.take(arr, idx[:, 2], axis=0)
+        return a0 * w0[:, None] + a1 * w1[:, None] + a2 * w2[:, None]
+
+    uv = interp(scene.vert_uv)
+    normal = normalize(interp(scene.vert_normal))
+    tangent4 = interp(scene.vert_tangent)
+    tangent = jnp.concatenate(
+        [normalize(tangent4[:, :3]), tangent4[:, 3:4]], axis=-1
+    )
+    geometry_normal = jnp.take(scene.tri_gn, tri, axis=0)
+    material_index = jnp.take(scene.tri_material, tri)
+    primitive_index = jnp.take(scene.tri_primitive, tri)
+    triangle_index = jnp.take(scene.tri_local, tri)
+    return TriangleData(
+        uv=uv,
+        normal=normal,
+        tangent=tangent,
+        geometry_normal=geometry_normal,
+        material_index=material_index,
+        primitive_index=primitive_index,
+        triangle_index=triangle_index,
+    )
+
+
+def get_material_data(scene, tri_data: TriangleData) -> MaterialData:
+    """material.glsl:31-68 with dummy-white texture unification."""
+    m = tri_data.material_index
+
+    def sample(tex_index_table):
+        tex_idx = jnp.take(tex_index_table, m)
+        return sample_bilinear(
+            scene.tex_texels,
+            scene.tex_offset,
+            scene.tex_width,
+            scene.tex_height,
+            tex_idx,
+            tri_data.uv,
+        )
+
+    ar, ag, ab, aa = unpack_unorm4x8(jnp.take(scene.mat_albedo_factor, m))
+    albedo = jnp.stack([ar, ag, ab, aa], axis=-1) * sample(scene.mat_albedo_tex)
+
+    _, mr_g, mr_b, _ = unpack_unorm4x8(jnp.take(scene.mat_mr_factor, m))
+    mr_tex = sample(scene.mat_mr_tex)
+    roughness = mr_g * mr_tex[:, 1]
+    metallic = mr_b * mr_tex[:, 2]
+
+    er, eg, eb, _ = unpack_unorm4x8(jnp.take(scene.mat_emissive_factor, m))
+    emissive = jnp.stack([er, eg, eb], axis=-1) * sample(scene.mat_emissive_tex)[:, :3]
+
+    # Normal mapping (material.glsl:56-67): note the reference does NOT
+    # re-normalize after the TBN transform.
+    nrm_tex = sample(scene.mat_normal_tex)[:, :3]
+    n_ts = normalize(2.0 * nrm_tex - 1.0)
+    tangent_xyz = tri_data.tangent[:, :3]
+    bitangent = cross(tri_data.normal, tangent_xyz) * tri_data.tangent[:, 3:4]
+    mapped = (
+        tangent_xyz * n_ts[:, 0:1]
+        + bitangent * n_ts[:, 1:2]
+        + tri_data.normal * n_ts[:, 2:3]
+    )
+    has_map = jnp.take(scene.mat_has_normal_tex, m)
+    normal = jnp.where(has_map[:, None], mapped, tri_data.normal)
+
+    return MaterialData(
+        albedo=albedo,
+        normal=normal,
+        emissive=emissive,
+        roughness=roughness,
+        metallic=metallic,
+    )

@@ -1,0 +1,162 @@
+"""The wavefront bounce loop — the TPU analog of ray_gen.rgen:44-102.
+
+One *sample* = up to NUM_BOUNCES segments per ray.  The bounce loop is
+Python-unrolled under jit (NUM_BOUNCES is a spec-constant analog), so
+XLA sees a fixed kernel sequence per bounce:
+
+    closest-hit (BVH traversal or brute force)
+      -> sky/emissive accumulation
+      -> attribute + material fetch (gathers)
+      -> BRDF sampling (VPU math)
+      -> next-ray state update (masked)
+
+Lanes don't branch; dead paths are masked out and their RNG state is
+left untouched, which keeps the per-lane random stream *bit-exact*
+with the reference's early `break`s (miss -> no draw; draws happen
+before the lambert_in kill check, ray_gen.rgen:87-93).
+
+Radiometric contract reproduced exactly (ray_gen.rgen:33-104):
+sky = mix(white, (.5,.7,1), .5*(dir.y+1)); emissive x 10;
+f0 = mix(0.02, albedo, metallic); diffuse_albedo = albedo*(1-metallic);
+roughness >= 0.006; origin offset 1e-5 * geometry_normal; path kill on
+lambert_in <= 0; atten *= brdf * cos / pdf.
+
+Russian roulette is an *extension* (off by default): survival
+probability = clamp(max-component of atten), drawn from the same
+pcg2d stream, applied from ``rr_start_bounce`` on.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vulkan_pathtracer_tpu.ops import rng
+from vulkan_pathtracer_tpu.ops.brdf import (
+    ShadingInfo,
+    brdf,
+    get_brdf_density,
+    sample_brdf,
+)
+from vulkan_pathtracer_tpu.ops.intersect import (
+    MISS_T,
+    brute_force_closest_hit,
+)
+from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+from vulkan_pathtracer_tpu.ops.vecmath import dot, mix
+from vulkan_pathtracer_tpu.render.shading import (
+    get_material_data,
+    get_triangle_data,
+)
+
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)
+EMISSIVE_SCALE = 10.0       # ray_gen.rgen:75
+ORIGIN_OFFSET = 1e-5        # ray_gen.rgen:86
+ROUGHNESS_FLOOR = 0.006     # ray_gen.rgen:84
+F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
+
+
+def _closest_hit(scene, origin, direction, active, traversal: str):
+    if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
+        return brute_force_closest_hit(scene, origin, direction, active)
+    return bvh_closest_hit(scene, origin, direction, active)
+
+
+def sky_color(direction):
+    """ray_gen.rgen:65-70."""
+    t = 0.5 * (direction[:, 1] + 1.0)
+    white = jnp.array(SKY_WHITE, dtype=jnp.float32)
+    blue = jnp.array(SKY_BLUE, dtype=jnp.float32)
+    return mix(white[None, :], blue[None, :], t[:, None])
+
+
+def trace_sample(scene, origin, direction, seed_x, seed_y, *,
+                 num_bounces: int, traversal: str = "auto",
+                 russian_roulette: bool = False, rr_start_bounce: int = 2):
+    """Trace one sample for all rays.
+
+    Returns (color (N,3), new_seed_x, new_seed_y, rays_traced_f32).
+    """
+    n = origin.shape[0]
+    color = jnp.zeros((n, 3), dtype=jnp.float32)
+    atten = jnp.ones((n, 3), dtype=jnp.float32)
+    alive = jnp.ones((n,), dtype=bool)
+    rays_traced = jnp.float32(0.0)
+
+    for j in range(num_bounces):
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+        hit = _closest_hit(scene, origin, direction, alive, traversal)
+        missed = alive & (hit.t >= MISS_T)
+        did_hit = alive & ~missed
+
+        color = color + jnp.where(
+            missed[:, None], atten * sky_color(direction), 0.0
+        )
+
+        tri_data = get_triangle_data(scene, hit)
+        mat = get_material_data(scene, tri_data)
+
+        color = color + jnp.where(
+            did_hit[:, None], mat.emissive * EMISSIVE_SCALE * atten, 0.0
+        )
+
+        if j < num_bounces - 1:
+            out_dir = -direction
+            shading = ShadingInfo(
+                normal=mat.normal,
+                out_dir=out_dir,
+                lambert_out=dot(mat.normal, out_dir),
+                fresnel_0=mix(
+                    jnp.float32(F0_DIELECTRIC),
+                    mat.albedo[:, :3],
+                    mat.metallic[:, None],
+                ),
+                diffuse_albedo=mat.albedo[:, :3]
+                - mat.metallic[:, None] * mat.albedo[:, :3],
+                roughness=jnp.maximum(ROUGHNESS_FLOOR, mat.roughness),
+            )
+
+            # Draw exactly where the reference draws (hit & not last
+            # bounce) so the stream stays aligned with its breaks.
+            nsx, nsy, rx, ry = rng.pcg2d(seed_x, seed_y)
+            seed_x = jnp.where(did_hit, nsx, seed_x)
+            seed_y = jnp.where(did_hit, nsy, seed_y)
+
+            new_origin = (
+                origin
+                + hit.t[:, None] * direction
+                + tri_data.geometry_normal * ORIGIN_OFFSET
+            )
+            new_direction = sample_brdf(shading, rx, ry)
+
+            density = get_brdf_density(shading, new_direction)
+            lambert_in = dot(shading.normal, new_direction)
+            killed = lambert_in <= 0.0
+
+            weight = (
+                brdf(shading, new_direction)
+                * lambert_in[:, None]
+                / jnp.maximum(density, jnp.float32(1e-30))[:, None]
+            )
+            survive = did_hit & ~killed
+            atten = jnp.where(survive[:, None], atten * weight, atten)
+            origin = jnp.where(did_hit[:, None], new_origin, origin)
+            direction = jnp.where(did_hit[:, None], new_direction, direction)
+            alive = survive
+
+            if russian_roulette and j + 1 >= rr_start_bounce:
+                p_survive = jnp.clip(
+                    jnp.max(atten, axis=-1), 0.05, 1.0
+                )
+                nsx, nsy, rrx, _ = rng.pcg2d(seed_x, seed_y)
+                seed_x = jnp.where(alive, nsx, seed_x)
+                seed_y = jnp.where(alive, nsy, seed_y)
+                rr_kill = rrx >= p_survive
+                atten = jnp.where(
+                    (alive & ~rr_kill)[:, None], atten / p_survive[:, None], atten
+                )
+                alive = alive & ~rr_kill
+        else:
+            alive = jnp.zeros_like(alive)
+
+    return color, seed_x, seed_y, rays_traced

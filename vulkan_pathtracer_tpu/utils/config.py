@@ -1,0 +1,62 @@
+"""Render configuration.
+
+The static half mirrors the reference's SPIR-V specialization
+constants + CLI (``main.zig:29-67``, ``RayTracingPipeline.zig:286-320``):
+``num_samples`` / ``num_bounces`` / resolution / divider are
+*compile-time* parameters — changing them recompiles the render
+function (the XLA analog of rebuilding the RT pipeline).  The traced
+half (camera vectors, frame counter) mirrors the push-constant block.
+
+Extensions beyond the reference (all default-off so defaults match it
+exactly) are grouped at the bottom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # ---- reference CLI surface (same names & defaults, main.zig:29-67) ----
+    num_samples: int = 1            # --num-samples / -c
+    num_bounces: int = 2            # --num-bounces / -b
+    resolution_x: int = 1920        # --resolution-x / -x
+    resolution_y: int = 1080        # --resolution-y / -y
+    render_resolution_divider: int = 1  # --render-resolution-divider / -d
+    enable_validation: bool = False     # --enable-validation / -v
+
+    # ---- TPU-build extensions (north-star features, default off) ----------
+    progressive: bool = False       # accumulate across frames
+    russian_roulette: bool = False  # RR path termination after bounce 2
+    rr_start_bounce: int = 2
+    traversal: str = "auto"         # auto | bvh | brute
+    wavefront_compaction: bool = False  # sort rays for gather coherence
+    dtype: str = "float32"
+
+    @property
+    def render_width(self) -> int:
+        return max(1, self.resolution_x // self.render_resolution_divider)
+
+    @property
+    def render_height(self) -> int:
+        return max(1, self.resolution_y // self.render_resolution_divider)
+
+    @property
+    def aspect_ratio(self) -> float:
+        # main.zig: camera aspect comes from the window extent.
+        return self.resolution_x / self.resolution_y
+
+    def static_key(self):
+        """Everything that forces a recompile (the spec-constant set)."""
+        return (
+            self.num_samples,
+            self.num_bounces,
+            self.render_width,
+            self.render_height,
+            self.progressive,
+            self.russian_roulette,
+            self.rr_start_bounce,
+            self.traversal,
+            self.wavefront_compaction,
+        )
