@@ -1,0 +1,68 @@
+"""Native (C++) LBVH builder vs the NumPy builder."""
+
+import numpy as np
+import pytest
+
+from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh
+from vulkan_pathtracer_tpu.ops.native import get_lib, lbvh_build_native
+
+
+def _random_tris(n, seed=11):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    e1 = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    e2 = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    return v0, e1, e2
+
+
+needs_native = pytest.mark.skipif(get_lib() is None,
+                                  reason="native lib not built")
+
+
+@needs_native
+def test_native_matches_numpy_builder():
+    v0, e1, e2 = _random_tris(2000)
+    nat = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=True)
+    ref = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=False)
+    assert nat.node_count == ref.node_count
+    np.testing.assert_array_equal(nat.tri_order, ref.tri_order)
+    np.testing.assert_array_equal(nat.skip, ref.skip)
+    np.testing.assert_array_equal(nat.leaf_first, ref.leaf_first)
+    np.testing.assert_array_equal(nat.leaf_count, ref.leaf_count)
+    np.testing.assert_allclose(nat.bmin, ref.bmin, rtol=1e-6)
+    np.testing.assert_allclose(nat.bmax, ref.bmax, rtol=1e-6)
+
+
+@needs_native
+def test_native_invariants_large():
+    v0, e1, e2 = _random_tris(50000, seed=3)
+    bvh = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=True)
+    validate_bvh(bvh, v0[bvh.tri_order], e1[bvh.tri_order],
+                 e2[bvh.tri_order])
+
+
+@needs_native
+def test_native_single_triangle():
+    out = lbvh_build_native(
+        np.zeros((1, 3), np.float32),
+        np.array([[1, 0, 0]], np.float32),
+        np.array([[0, 1, 0]], np.float32),
+        4,
+    )
+    assert out is not None
+    bmin, bmax, skip, leaf_first, leaf_count, left, right, order = out
+    assert len(skip) == 1 and skip[0] == 1
+    assert leaf_first[0] == 0 and leaf_count[0] == 1
+
+
+@needs_native
+def test_native_build_speed():
+    import time
+
+    v0, e1, e2 = _random_tris(200000, seed=8)
+    t0 = time.perf_counter()
+    bvh = build_bvh_host(v0, e1, e2, use_native=True)
+    native_t = time.perf_counter() - t0
+    assert bvh.node_count > 0
+    # Sanity: 200k tris should build well under 5s natively.
+    assert native_t < 5.0, native_t

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native (C++) host runtime.
+
+The reference's host side is entirely native (Zig + vendored C); our
+host-side hot loops — LBVH build and instance triangle bake — live in
+``native/*.cpp`` compiled to ``libvkpt_native.so``.  This module loads
+it lazily, attempts a one-shot ``make`` if it's missing, and every
+caller has a pure-NumPy fallback so the framework keeps working
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libvkpt_native.so")
+
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        if os.environ.get("VKPT_NO_NATIVE"):
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.lbvh_build.restype = ctypes.c_int64
+    lib.lbvh_build.argtypes = [
+        _f32p, _f32p, _f32p,
+        ctypes.c_int64, ctypes.c_int,
+        _f32p, _f32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p,
+    ]
+    lib.bake_triangles.restype = None
+    lib.bake_triangles.argtypes = [
+        _f32p, ctypes.c_int64, _u32p, ctypes.c_int64,
+        _f64p, _f64p, _f64p,
+        _f32p, _f32p, _f32p, _f32p,
+    ]
+    lib.transform_points.restype = None
+    lib.transform_points.argtypes = [_f32p, ctypes.c_int64, _f64p, _f64p, _f32p]
+    lib.transform_dirs.restype = None
+    lib.transform_dirs.argtypes = [_f32p, ctypes.c_int64, _f64p, _f32p]
+    _LIB = lib
+    return _LIB
+
+
+def lbvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
+                      tri_e2: np.ndarray, max_leaf_size: int):
+    """Returns the same tuple layout ops.bvh.HostBVH uses, or None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = tri_v0.shape[0]
+    cap = max(2 * n, 1)
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    skip = np.empty(cap, np.int32)
+    leaf_first = np.empty(cap, np.int32)
+    leaf_count = np.empty(cap, np.int32)
+    left = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    tri_order = np.empty(n, np.int64)
+    count = lib.lbvh_build(
+        np.ascontiguousarray(tri_v0, np.float32),
+        np.ascontiguousarray(tri_e1, np.float32),
+        np.ascontiguousarray(tri_e2, np.float32),
+        n, max_leaf_size,
+        bmin.reshape(-1), bmax.reshape(-1), skip, leaf_first, leaf_count,
+        left, right, tri_order,
+    )
+    if count <= 0:
+        return None
+    return (
+        bmin[:count].copy(), bmax[:count].copy(), skip[:count].copy(),
+        leaf_first[:count].copy(), leaf_count[:count].copy(),
+        left[:count].copy(), right[:count].copy(), tri_order,
+    )
