@@ -248,3 +248,87 @@ extern "C" int64_t lbvh_build(
     bld.build();
     return bld.node_count;
 }
+
+// ---------------------------------------------------------------------------
+// Octant-ordered linearizations.
+//
+// Skip-pointer traversal visits children in a FIXED order, so rays
+// moving "backwards" through the scene find far hits first and keep
+// traversing with a large t_best. Emitting 8 DFS orders — one per ray
+// direction octant, visiting at every internal node the child nearer
+// along the dominant child-separation axis first — restores
+// near-to-far ordering with zero extra per-ray state: the ray just
+// adds octant * node_count to its cursor.
+//
+// Outputs, per octant o (concatenated, stride node_count):
+//   skip8 / leaf_first8 / leaf_count8: node records in octant-o preorder
+//     (skip values are LOCAL 0..node_count; caller adds the offset)
+//   perm8: octant-order index -> build-order node index (for AABB
+//     gathers and refit updates)
+extern "C" int lbvh_octant_orders(
+    int64_t node_count, const float* bmin, const float* bmax,
+    const int32_t* left, const int32_t* right, const int32_t* leaf_first,
+    const int32_t* leaf_count, int32_t* skip8, int32_t* leaf_first8,
+    int32_t* leaf_count8, int32_t* perm8) {
+    if (node_count <= 0) return -1;
+
+    // Per internal node: dominant separation axis + which child is
+    // "lower" along it.
+    std::vector<uint8_t> axis(node_count, 0);
+    std::vector<uint8_t> left_is_lower(node_count, 1);
+    for (int64_t i = 0; i < node_count; ++i) {
+        int32_t l = left[i], r = right[i];
+        if (l < 0) continue;
+        double best = -1.0;
+        for (int k = 0; k < 3; ++k) {
+            double cl = 0.5 * (double(bmin[l * 3 + k]) + double(bmax[l * 3 + k]));
+            double cr = 0.5 * (double(bmin[r * 3 + k]) + double(bmax[r * 3 + k]));
+            double d = std::abs(cr - cl);
+            if (d > best) {
+                best = d;
+                axis[i] = static_cast<uint8_t>(k);
+                left_is_lower[i] = cl <= cr ? 1 : 0;
+            }
+        }
+    }
+
+    struct Frame {
+        int32_t node;   // build-order node id
+        int64_t out;    // -1 until emitted; used for skip patch
+        int state;
+    };
+
+    for (int o = 0; o < 8; ++o) {
+        int64_t base = static_cast<int64_t>(o) * node_count;
+        int64_t count = 0;
+        std::vector<Frame> stack;
+        stack.push_back({0, -1, 0});
+        while (!stack.empty()) {
+            Frame f = stack.back();
+            stack.pop_back();
+            if (f.state == 1) {
+                skip8[base + f.out] = static_cast<int32_t>(count);
+                continue;
+            }
+            int64_t out = count++;
+            perm8[base + out] = f.node;
+            leaf_first8[base + out] = leaf_first[f.node];
+            leaf_count8[base + out] = leaf_count[f.node];
+            stack.push_back({f.node, out, 1});
+            int32_t l = left[f.node];
+            if (l >= 0) {
+                int32_t r = right[f.node];
+                // Octant bit set => ray direction negative along that
+                // axis => visit the HIGHER child first.
+                bool neg = (o >> axis[f.node]) & 1;
+                int32_t first_child =
+                    (left_is_lower[f.node] ? !neg : neg) ? l : r;
+                int32_t second_child = first_child == l ? r : l;
+                // preorder: push second THEN first.
+                stack.push_back({second_child, -1, 0});
+                stack.push_back({first_child, -1, 0});
+            }
+        }
+    }
+    return 0;
+}

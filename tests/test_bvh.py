@@ -81,4 +81,21 @@ def test_leaf_order_contiguous(columns_glb):
     count = np.asarray(dev.bvh_leaf_count)
     leaves = first >= 0
     total = count[leaves].sum()
-    assert total == dev.num_triangles
+    # Leaf ranges cover every triangle once per octant order.
+    assert total == dev.num_triangles * dev.bvh_orders
+
+
+def test_octant_orders_consistent(columns_glb):
+    """Each octant block is a permutation of the build-order nodes and
+    its skip pointers stay within the block."""
+    scene = gltf.load(columns_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    assert dev.bvh_orders == 8
+    n = np.asarray(dev.bvh_skip).shape[0] // 8
+    perm = np.asarray(dev.bvh_perm).reshape(8, n)
+    skip = np.asarray(dev.bvh_skip).reshape(8, n)
+    for o in range(8):
+        assert sorted(perm[o]) == list(range(n))
+        assert (skip[o] > o * n).all() and (skip[o] <= (o + 1) * n).all()
+    # Octant 0 root must be the build root.
+    assert perm[0, 0] == 0

@@ -97,14 +97,24 @@ class DeviceScene:
     tex_width: jnp.ndarray       # (NT,) int32
     tex_height: jnp.ndarray      # (NT,) int32
 
-    # BVH (filled by ops.bvh.build_scene_bvh; None => brute force only)
-    bvh_bmin: Optional[jnp.ndarray] = None   # (Nn, 3) f32
-    bvh_bmax: Optional[jnp.ndarray] = None   # (Nn, 3) f32
-    bvh_skip: Optional[jnp.ndarray] = None   # (Nn,) int32 escape pointer
-    bvh_leaf_first: Optional[jnp.ndarray] = None  # (Nn,) int32 (-1 internal)
-    bvh_leaf_count: Optional[jnp.ndarray] = None  # (Nn,) int32
+    # BVH. Traversal arrays are stacked per direction octant when
+    # bvh_orders == 8 (shape (orders*Nn, ...), skip pointers include
+    # the per-octant offset); build-order arrays support device refit.
+    bvh_bmin: Optional[jnp.ndarray] = None   # (orders*Nn, 3) f32
+    bvh_bmax: Optional[jnp.ndarray] = None   # (orders*Nn, 3) f32
+    bvh_skip: Optional[jnp.ndarray] = None   # (orders*Nn,) int32 escape
+    bvh_leaf_first: Optional[jnp.ndarray] = None  # (orders*Nn,) int32
+    bvh_leaf_count: Optional[jnp.ndarray] = None  # (orders*Nn,) int32
+    bvh_left: Optional[jnp.ndarray] = None   # (Nn,) int32 build order
+    bvh_right: Optional[jnp.ndarray] = None  # (Nn,) int32 build order
+    bvh_leaf_first_build: Optional[jnp.ndarray] = None  # (Nn,) int32
+    bvh_leaf_count_build: Optional[jnp.ndarray] = None  # (Nn,) int32
+    bvh_perm: Optional[jnp.ndarray] = None   # (orders*Nn,) int32 -> build idx
 
     num_triangles: int = 0  # un-padded triangle count (static aux)
+    bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
+    max_leaf_size: int = 4  # static aux (leaf unroll factor)
+    bvh_orders: int = 1     # 1 or 8 direction-octant linearizations
 
     # -- pytree plumbing -----------------------------------------------------
     _ARRAY_FIELDS = (
@@ -115,17 +125,20 @@ class DeviceScene:
         "mat_emissive_tex", "mat_normal_tex", "mat_has_normal_tex",
         "tex_texels", "tex_offset", "tex_width", "tex_height",
         "bvh_bmin", "bvh_bmax", "bvh_skip", "bvh_leaf_first",
-        "bvh_leaf_count",
+        "bvh_leaf_count", "bvh_left", "bvh_right",
+        "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
-        return children, (self.num_triangles,)
+        return children, (self.num_triangles, self.bvh_depth,
+                          self.max_leaf_size, self.bvh_orders)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kwargs = dict(zip(cls._ARRAY_FIELDS, children))
-        return cls(num_triangles=aux[0], **kwargs)
+        return cls(num_triangles=aux[0], bvh_depth=aux[1],
+                   max_leaf_size=aux[2], bvh_orders=aux[3], **kwargs)
 
     @property
     def has_bvh(self) -> bool:
@@ -183,7 +196,8 @@ def _bake_instance(scene: Scene, inst, prims_out: dict, vert_base: int) -> int:
 
 
 def build_device_scene(scene: Scene, build_bvh: bool = True,
-                       max_leaf_size: int = 4) -> DeviceScene:
+                       max_leaf_size: int = 4,
+                       octant_order: bool = True) -> DeviceScene:
     """Bake a host Scene into device SoA arrays (and optionally a BVH)."""
     acc = {k: [] for k in (
         "tri_v0", "tri_e1", "tri_e2", "tri_gn", "tri_index", "tri_material",
@@ -315,9 +329,33 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
     )
 
     if bvh is not None:
-        dev.bvh_bmin = jnp.asarray(bvh.bmin)
-        dev.bvh_bmax = jnp.asarray(bvh.bmax)
-        dev.bvh_skip = jnp.asarray(bvh.skip)
-        dev.bvh_leaf_first = jnp.asarray(bvh.leaf_first)
-        dev.bvh_leaf_count = jnp.asarray(bvh.leaf_count)
+        from vulkan_pathtracer_tpu.ops.bvh import octant_orders, tree_depth
+
+        dev.bvh_left = jnp.asarray(bvh.left_child)
+        dev.bvh_right = jnp.asarray(bvh.right_child)
+        dev.bvh_leaf_first_build = jnp.asarray(bvh.leaf_first)
+        dev.bvh_leaf_count_build = jnp.asarray(bvh.leaf_count)
+        dev.bvh_depth = tree_depth(bvh)
+        dev.max_leaf_size = max_leaf_size
+        if octant_order:
+            skip8, leaf_first8, leaf_count8, perm8 = octant_orders(bvh)
+            n_nodes = bvh.node_count
+            # Globalize skip pointers: block o lives at [o*Nn, (o+1)*Nn).
+            offsets = (np.arange(8, dtype=np.int32) * n_nodes)[:, None]
+            dev.bvh_skip = jnp.asarray((skip8 + offsets).reshape(-1))
+            dev.bvh_leaf_first = jnp.asarray(leaf_first8.reshape(-1))
+            dev.bvh_leaf_count = jnp.asarray(leaf_count8.reshape(-1))
+            perm_flat = perm8.reshape(-1)
+            dev.bvh_perm = jnp.asarray(perm_flat)
+            dev.bvh_bmin = jnp.asarray(bvh.bmin[perm_flat])
+            dev.bvh_bmax = jnp.asarray(bvh.bmax[perm_flat])
+            dev.bvh_orders = 8
+        else:
+            dev.bvh_bmin = jnp.asarray(bvh.bmin)
+            dev.bvh_bmax = jnp.asarray(bvh.bmax)
+            dev.bvh_skip = jnp.asarray(bvh.skip)
+            dev.bvh_leaf_first = jnp.asarray(bvh.leaf_first)
+            dev.bvh_leaf_count = jnp.asarray(bvh.leaf_count)
+            dev.bvh_perm = jnp.arange(bvh.node_count, dtype=jnp.int32)
+            dev.bvh_orders = 1
     return dev

@@ -171,6 +171,89 @@ def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
     )
 
 
+def octant_orders(bvh: HostBVH):
+    """8 direction-octant DFS linearizations of a built tree.
+
+    Skip-pointer traversal has a fixed child order; rays moving
+    against it hit far geometry first and prune poorly.  Emitting one
+    preorder per direction octant — visiting the nearer child (along
+    the dominant child-separation axis) first — restores near-to-far
+    ordering at the cost of 8x node-array memory and zero per-ray
+    state: a ray adds ``octant * node_count`` to its cursor.
+
+    Returns (skip8, leaf_first8, leaf_count8, perm8), each (8, Nn);
+    skip values are local (0..Nn); perm maps octant-order -> build
+    order.  Native C++ fast path with a Python fallback.
+    """
+    from vulkan_pathtracer_tpu.ops.native import octant_orders_native
+
+    result = octant_orders_native(
+        bvh.bmin, bvh.bmax, bvh.left_child, bvh.right_child,
+        bvh.leaf_first, bvh.leaf_count,
+    )
+    if result is not None:
+        return result
+
+    n = bvh.node_count
+    center = (bvh.bmin.astype(np.float64) + bvh.bmax) * 0.5
+    left = bvh.left_child
+    right = bvh.right_child
+    # Dominant separation axis + lower child per internal node.
+    axis = np.zeros(n, np.int8)
+    left_is_lower = np.ones(n, bool)
+    internal = left >= 0
+    li = np.maximum(left, 0)
+    ri = np.maximum(right, 0)
+    sep = np.abs(center[ri] - center[li])
+    axis = np.argmax(sep, axis=1).astype(np.int8)
+    rows = np.arange(n)
+    left_is_lower = center[li, axis] <= center[ri, axis]
+
+    skip8 = np.zeros((8, n), np.int32)
+    leaf_first8 = np.zeros((8, n), np.int32)
+    leaf_count8 = np.zeros((8, n), np.int32)
+    perm8 = np.zeros((8, n), np.int32)
+    for o in range(8):
+        count = 0
+        stack = [(0, -1)]  # (node, out-if-patch)
+        while stack:
+            node, out = stack.pop()
+            if out >= 0:
+                skip8[o, out] = count
+                continue
+            me = count
+            count += 1
+            perm8[o, me] = node
+            leaf_first8[o, me] = bvh.leaf_first[node]
+            leaf_count8[o, me] = bvh.leaf_count[node]
+            stack.append((node, me))
+            if internal[node]:
+                neg = (o >> axis[node]) & 1
+                lower_first = not neg
+                first = left[node] if (left_is_lower[node] == lower_first) \
+                    else right[node]
+                second = right[node] if first == left[node] else left[node]
+                stack.append((second, -1))
+                stack.append((first, -1))
+    _ = rows
+    return skip8, leaf_first8, leaf_count8, perm8
+
+
+def tree_depth(bvh: HostBVH) -> int:
+    """Max depth (root = 1), computed iteratively over preorder."""
+    n = bvh.node_count
+    if n == 0:
+        return 0
+    depth = np.zeros(n, dtype=np.int32)
+    depth[0] = 1
+    for i in range(n):
+        l, r = bvh.left_child[i], bvh.right_child[i]
+        if l >= 0:
+            depth[l] = depth[i] + 1
+            depth[r] = depth[i] + 1
+    return int(depth.max())
+
+
 def validate_bvh(bvh: HostBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
                  tri_e2: np.ndarray) -> None:
     """Invariant checks (test support / --enable-validation):

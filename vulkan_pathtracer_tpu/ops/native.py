@@ -72,6 +72,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.transform_points.argtypes = [_f32p, ctypes.c_int64, _f64p, _f64p, _f32p]
     lib.transform_dirs.restype = None
     lib.transform_dirs.argtypes = [_f32p, ctypes.c_int64, _f64p, _f32p]
+    lib.lbvh_octant_orders.restype = ctypes.c_int
+    lib.lbvh_octant_orders.argtypes = [
+        ctypes.c_int64, _f32p, _f32p, _i32p, _i32p, _i32p, _i32p,
+        _i32p, _i32p, _i32p, _i32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -108,3 +113,30 @@ def lbvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
         leaf_first[:count].copy(), leaf_count[:count].copy(),
         left[:count].copy(), right[:count].copy(), tri_order,
     )
+
+
+def octant_orders_native(bmin, bmax, left, right, leaf_first, leaf_count):
+    """8 direction-octant DFS linearizations; returns
+    (skip8, leaf_first8, leaf_count8, perm8) each (8, Nn), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = bmin.shape[0]
+    skip8 = np.empty((8, n), np.int32)
+    leaf_first8 = np.empty((8, n), np.int32)
+    leaf_count8 = np.empty((8, n), np.int32)
+    perm8 = np.empty((8, n), np.int32)
+    rc = lib.lbvh_octant_orders(
+        n,
+        np.ascontiguousarray(bmin, np.float32).reshape(-1),
+        np.ascontiguousarray(bmax, np.float32).reshape(-1),
+        np.ascontiguousarray(left, np.int32),
+        np.ascontiguousarray(right, np.int32),
+        np.ascontiguousarray(leaf_first, np.int32),
+        np.ascontiguousarray(leaf_count, np.int32),
+        skip8.reshape(-1), leaf_first8.reshape(-1),
+        leaf_count8.reshape(-1), perm8.reshape(-1),
+    )
+    if rc != 0:
+        return None
+    return skip8, leaf_first8, leaf_count8, perm8

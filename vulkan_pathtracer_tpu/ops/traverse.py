@@ -46,19 +46,32 @@ def _safe_inv(d):
 
 
 def bvh_closest_hit(scene, origin, direction, active=None,
-                    tmin=TMIN, tmax=TMAX, max_leaf_size: int = 4) -> Hit:
+                    tmin=TMIN, tmax=TMAX) -> Hit:
     """Closest-hit query for a batch of rays against scene's BVH.
 
     scene: DeviceScene with bvh_* arrays present.
     origin, direction: (N, 3) f32. active: optional (N,) bool.
     """
+    max_leaf_size = scene.max_leaf_size
     n = origin.shape[0]
-    n_nodes = scene.bvh_skip.shape[0]
-    done_sentinel = jnp.int32(n_nodes)
+    n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
 
     inv_d = _safe_inv(direction)
 
-    node0 = jnp.zeros((n,), dtype=jnp.int32)
+    # Direction octant selects the near-first linearization
+    # (bvh_orders == 8); with a single order every ray uses block 0.
+    if scene.bvh_orders == 8:
+        octant = (
+            (direction[:, 0] < 0).astype(jnp.int32)
+            + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+            + 4 * (direction[:, 2] < 0).astype(jnp.int32)
+        )
+        base = octant * jnp.int32(n_nodes)
+    else:
+        base = jnp.zeros((n,), dtype=jnp.int32)
+    done_sentinel = base + jnp.int32(n_nodes)  # per ray
+
+    node0 = base
     if active is not None:
         node0 = jnp.where(active, node0, done_sentinel)
 
@@ -77,7 +90,7 @@ def bvh_closest_hit(scene, origin, direction, active=None,
     def body(state):
         node, t_best, tri_best, u_best, v_best = state
         live = node < done_sentinel
-        nd = jnp.minimum(node, done_sentinel - 1)
+        nd = jnp.minimum(node, done_sentinel - 1)  # clamp within block
 
         bmin = jnp.take(scene.bvh_bmin, nd, axis=0)
         bmax = jnp.take(scene.bvh_bmax, nd, axis=0)

@@ -77,15 +77,36 @@ def _pixel_seeds(width: int, height: int, frame, y_offset=0,
     return rng.prng_seed(px, py, frame)
 
 
+DEFAULT_RAY_CHUNK = 1 << 17  # target rays per dispatch
+
+
+def _pick_chunks(n: int, target: int) -> int:
+    """Smallest chunk count >= n/target that divides n exactly."""
+    if target <= 0 or n <= target:
+        return 1
+    num = -(-n // target)
+    while n % num:
+        num += 1
+    return num
+
+
 def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 forward, frame, *, num_samples: int, num_bounces: int,
                 width: int, height: int, y_offset=0, rows: int = None,
                 traversal: str = "auto", russian_roulette: bool = False,
-                rr_start_bounce: int = 2):
+                rr_start_bounce: int = 2,
+                ray_chunk: int = DEFAULT_RAY_CHUNK):
     """Render image rows [y_offset, y_offset+rows): the shared core of
-    the single-chip frame and the per-device tile under shard_map."""
+    the single-chip frame and the per-device tile under shard_map.
+
+    Rays are dispatched in chunks (lax.map) when the launch exceeds
+    ``ray_chunk``: this bounds peak HBM for the traversal state and
+    lets early-converging chunks finish without waiting on the global
+    slowest ray (the wavefront analog of workgroup scheduling).
+    """
     if rows is None:
         rows = height
+    n = rows * width
     origin, direction = generate_rays(
         position, horizontal, vertical, forward, width, height,
         y_offset=y_offset, rows=rows,
@@ -93,29 +114,49 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     seed_x, seed_y = _pixel_seeds(width, height, frame,
                                   y_offset=y_offset, rows=rows)
 
-    def sample_body(carry, _):
-        sx, sy, acc, rays = carry
-        color, sx, sy, traced = trace_sample(
-            scene, origin, direction, sx, sy,
-            num_bounces=num_bounces,
-            traversal=traversal,
-            russian_roulette=russian_roulette,
-            rr_start_bounce=rr_start_bounce,
-        )
-        return (sx, sy, acc + color, rays + traced), None
+    def trace_chunk(chunk):
+        o, d, sx, sy = chunk
 
-    init = (
-        seed_x,
-        seed_y,
-        jnp.zeros((rows * width, 3), dtype=jnp.float32),
-        jnp.float32(0.0),
-    )
-    if num_samples == 1:
-        (_, _, acc, rays), _ = sample_body(init, None)
-    else:
-        (_, _, acc, rays), _ = jax.lax.scan(
-            sample_body, init, None, length=num_samples
+        def sample_body(carry, _):
+            sx, sy, acc, rays = carry
+            color, sx, sy, traced = trace_sample(
+                scene, o, d, sx, sy,
+                num_bounces=num_bounces,
+                traversal=traversal,
+                russian_roulette=russian_roulette,
+                rr_start_bounce=rr_start_bounce,
+            )
+            return (sx, sy, acc + color, rays + traced), None
+
+        init = (
+            sx, sy,
+            jnp.zeros((o.shape[0], 3), dtype=jnp.float32),
+            jnp.float32(0.0),
         )
+        if num_samples == 1:
+            (_, _, acc, rays), _ = sample_body(init, None)
+        else:
+            (_, _, acc, rays), _ = jax.lax.scan(
+                sample_body, init, None, length=num_samples
+            )
+        return acc, rays
+
+    num_chunks = _pick_chunks(n, ray_chunk)
+    if num_chunks == 1:
+        acc, rays = trace_chunk((origin, direction, seed_x, seed_y))
+    else:
+        c = n // num_chunks
+        acc, rays = jax.lax.map(
+            trace_chunk,
+            (
+                origin.reshape(num_chunks, c, 3),
+                direction.reshape(num_chunks, c, 3),
+                seed_x.reshape(num_chunks, c),
+                seed_y.reshape(num_chunks, c),
+            ),
+        )
+        acc = acc.reshape(n, 3)
+        rays = jnp.sum(rays)
     image = (acc / jnp.float32(num_samples)).reshape(rows, width, 3)
     return image, rays
 
@@ -124,19 +165,21 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     jax.jit,
     static_argnames=(
         "num_samples", "num_bounces", "width", "height", "traversal",
-        "russian_roulette", "rr_start_bounce",
+        "russian_roulette", "rr_start_bounce", "ray_chunk",
     ),
 )
 def render_frame(scene: DeviceScene, position, horizontal, vertical,
                  forward, frame, *, num_samples: int, num_bounces: int,
                  width: int, height: int, traversal: str = "auto",
-                 russian_roulette: bool = False, rr_start_bounce: int = 2):
+                 russian_roulette: bool = False, rr_start_bounce: int = 2,
+                 ray_chunk: int = DEFAULT_RAY_CHUNK):
     """One full frame: (H, W, 3) f32 linear radiance + rays traced."""
     return render_rows(
         scene, position, horizontal, vertical, forward, frame,
         num_samples=num_samples, num_bounces=num_bounces,
         width=width, height=height, traversal=traversal,
         russian_roulette=russian_roulette, rr_start_bounce=rr_start_bounce,
+        ray_chunk=ray_chunk,
     )
 
 
@@ -169,6 +212,7 @@ class RenderPipeline:
             traversal=self._traversal,
             russian_roulette=self.config.russian_roulette,
             rr_start_bounce=self.config.rr_start_bounce,
+            ray_chunk=self.config.ray_chunk,
         )
         return image, rays
 

@@ -32,6 +32,7 @@ class RenderConfig:
     rr_start_bounce: int = 2
     traversal: str = "auto"         # auto | bvh | brute
     wavefront_compaction: bool = False  # sort rays for gather coherence
+    ray_chunk: int = 1 << 17        # rays per dispatch chunk (0 = off)
     dtype: str = "float32"
 
     @property
@@ -59,4 +60,5 @@ class RenderConfig:
             self.rr_start_bounce,
             self.traversal,
             self.wavefront_compaction,
+            self.ray_chunk,
         )
