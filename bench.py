@@ -27,6 +27,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: remote-compile latency through the TPU
+    # tunnel is highly variable; cache hits skip it entirely.
+    cache_dir = os.environ.get("VKPT_COMPILE_CACHE", "/tmp/vkpt_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from assets.procedural import make_columns
     from vulkan_pathtracer_tpu.models import gltf
     from vulkan_pathtracer_tpu.models.camera import Camera
@@ -68,23 +75,25 @@ def main() -> int:
     path = orbit_path(radius=float(grid), height=4.0, duration=4.0)
     cam = Camera(aspect_ratio=config.aspect_ratio)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: through the axon relay,
+    # block_until_ready can return before execution completes, so all
+    # timing below forces completion by fetching device scalars.
     path.apply(cam, 0.0)
     image, rays = pipeline.render(cam, frame=0)
-    image.block_until_ready()
+    _ = float(image.sum()), float(rays)
 
-    total_rays = 0.0
+    checksums = []
+    ray_counts = []
     t0 = time.perf_counter()
     for f in range(frames):
         path.apply(cam, 4.0 * f / max(frames, 1))
         image, rays = pipeline.render(cam, frame=f + 1)
-    image.block_until_ready()
+        checksums.append(image.sum())
+        ray_counts.append(rays)
+    # Fetch everything: forces real completion of every frame.
+    total_rays = float(sum(float(r) for r in ray_counts))
+    _ = [float(c) for c in checksums]
     elapsed = time.perf_counter() - t0
-    # rays is per-frame; camera moves change ray counts slightly —
-    # fetch the last frame's count and scale (cheap approximation is
-    # avoided: fetch per frame would sync; instead count analytic
-    # primary + the device-reported total of the final frame).
-    total_rays = float(rays) * frames
 
     mrays = total_rays / elapsed / 1e6
     fps = frames / elapsed

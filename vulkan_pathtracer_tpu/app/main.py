@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     plat = os.environ.get("VKPT_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    cache_dir = os.environ.get("VKPT_COMPILE_CACHE")
+    cache_dir = os.environ.get("VKPT_COMPILE_CACHE", "/tmp/vkpt_jax_cache")
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -78,7 +78,19 @@ def main(argv=None) -> int:
         )
         print("BVH invariants validated", file=sys.stderr)
 
-    pipeline = RenderPipeline(dev, config)
+    if args.devices > 1:
+        from vulkan_pathtracer_tpu.parallel.sharding import (
+            ShardedRenderPipeline,
+        )
+
+        pipeline = ShardedRenderPipeline(dev, config, args.devices,
+                                         mode=args.shard_mode)
+        print(
+            f"sharding framebuffer across {args.devices} devices "
+            f"(mode={args.shard_mode})", file=sys.stderr,
+        )
+    else:
+        pipeline = RenderPipeline(dev, config)
 
     camera = Camera(aspect_ratio=config.aspect_ratio)
     path = CameraPath.load(args.camera_path) if args.camera_path else None
@@ -108,6 +120,14 @@ def main(argv=None) -> int:
             acc = Accumulator(config.render_width, config.render_height,
                               config.num_samples)
 
+    profile_ctx = None
+    if args.profile:
+        from vulkan_pathtracer_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+        print(f"profiling to {args.profile}", file=sys.stderr)
+
     image = None
     for frame in range(start_frame, args.frames):
         if path is not None:
@@ -129,6 +149,9 @@ def main(argv=None) -> int:
         if args.save_every and (frame + 1) % args.save_every == 0:
             _present(acc.mean if acc is not None else image, config,
                      args.output)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     final = acc.mean if acc is not None else image
     if final is not None:

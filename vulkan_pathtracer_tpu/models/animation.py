@@ -142,11 +142,14 @@ def build_animated_scene(scene: Scene, max_leaf_size: int = 4) -> AnimatedScene:
 
     # Recover the reorder+pad applied by build_device_scene by
     # rebuilding the identical BVH order.
-    from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host
+    from vulkan_pathtracer_tpu.models.device_scene import (
+        apply_slot_map,
+        bvh_with_leaf_blocks,
+    )
 
     # World-space arrays in original order (to match the build input):
     # build_device_scene built its BVH on the *baked* arrays; rebuild
-    # on the same inputs to get the same tri_order.
+    # on the same inputs to get the same slot map.
     world = {"v0": [], "e1": [], "e2": []}
     for inst in scene.instances:
         M = inst.transform.astype(np.float64)
@@ -163,11 +166,13 @@ def build_animated_scene(scene: Scene, max_leaf_size: int = 4) -> AnimatedScene:
     wv0 = np.concatenate(world["v0"])
     we1 = np.concatenate(world["e1"])
     we2 = np.concatenate(world["e2"])
-    bvh = build_bvh_host(wv0, we1, we2, max_leaf_size=max_leaf_size)
-    order = bvh.tri_order
+    _, slot_map = bvh_with_leaf_blocks(
+        wv0.astype(np.float32), we1.astype(np.float32),
+        we2.astype(np.float32), max_leaf_size,
+    )
 
     def reorder_pad(arr):
-        arr = arr[order]
+        arr = apply_slot_map(np.ascontiguousarray(arr), slot_map)
         target = base.tri_v0.shape[0]
         if arr.shape[0] < target:
             pad = np.zeros((target - arr.shape[0],) + arr.shape[1:], arr.dtype)

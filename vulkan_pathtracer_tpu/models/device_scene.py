@@ -110,6 +110,11 @@ class DeviceScene:
     bvh_leaf_first_build: Optional[jnp.ndarray] = None  # (Nn,) int32
     bvh_leaf_count_build: Optional[jnp.ndarray] = None  # (Nn,) int32
     bvh_perm: Optional[jnp.ndarray] = None   # (orders*Nn,) int32 -> build idx
+    # Packed fast-path records (one gather each per traversal step):
+    bvh_packed: Optional[jnp.ndarray] = None   # (orders*Nn, 8) f32:
+    #   bmin.xyz, bmax.xyz, bitcast(skip), bitcast(leaf_first | -1)
+    bvh_packed_tail: Optional[jnp.ndarray] = None  # (orders*Nn, 2) f32 static
+    tri_blocks: Optional[jnp.ndarray] = None   # (n_leaves, block*9) f32
 
     num_triangles: int = 0  # un-padded triangle count (static aux)
     bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
@@ -127,6 +132,7 @@ class DeviceScene:
         "bvh_bmin", "bvh_bmax", "bvh_skip", "bvh_leaf_first",
         "bvh_leaf_count", "bvh_left", "bvh_right",
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
+        "bvh_packed", "bvh_packed_tail", "tri_blocks",
     )
 
     def tree_flatten(self):
@@ -195,6 +201,33 @@ def _bake_instance(scene: Scene, inst, prims_out: dict, vert_base: int) -> int:
     return vert_base
 
 
+def bvh_with_leaf_blocks(tri_v0: np.ndarray, tri_e1: np.ndarray,
+                         tri_e2: np.ndarray, max_leaf_size: int):
+    """Build the BVH and rewrite its leaves to fixed-size blocks.
+
+    Returns (bvh, slot_map) where slot_map (T',) maps padded leaf-block
+    triangle slots to ORIGINAL (pre-Morton-sort) triangle indices, -1
+    for padding.  Shared by the static bake and AnimatedScene so both
+    produce identical orderings.
+    """
+    from vulkan_pathtracer_tpu.ops.bvh import (
+        build_bvh_host,
+        pad_leaves_to_blocks,
+    )
+
+    bvh = build_bvh_host(tri_v0, tri_e1, tri_e2, max_leaf_size=max_leaf_size)
+    gmap = pad_leaves_to_blocks(bvh, block=max_leaf_size)
+    slot_map = np.where(gmap >= 0, bvh.tri_order[np.maximum(gmap, 0)], -1)
+    return bvh, slot_map
+
+
+def apply_slot_map(arr: np.ndarray, slot_map: np.ndarray) -> np.ndarray:
+    """Gather rows by slot_map; -1 slots become zero rows."""
+    out = arr[np.maximum(slot_map, 0)]
+    out[slot_map < 0] = 0
+    return out
+
+
 def build_device_scene(scene: Scene, build_bvh: bool = True,
                        max_leaf_size: int = 4,
                        octant_order: bool = True) -> DeviceScene:
@@ -230,22 +263,21 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
     num_triangles = tri_v0.shape[0]
 
     bvh = None
-    tri_order = None
     if build_bvh and num_triangles > 0:
-        from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host
-
-        bvh = build_bvh_host(tri_v0, tri_e1, tri_e2, max_leaf_size=max_leaf_size)
-        tri_order = bvh.tri_order
-        # Reorder triangles into BVH leaf order so leaves address
-        # contiguous ranges (coherent gathers in traversal).
-        tri_v0 = tri_v0[tri_order]
-        tri_e1 = tri_e1[tri_order]
-        tri_e2 = tri_e2[tri_order]
-        tri_gn = tri_gn[tri_order]
-        tri_index = tri_index[tri_order]
-        tri_material = tri_material[tri_order]
-        tri_primitive = tri_primitive[tri_order]
-        tri_local = tri_local[tri_order]
+        bvh, slot_map = bvh_with_leaf_blocks(
+            tri_v0, tri_e1, tri_e2, max_leaf_size
+        )
+        # Reorder triangles into fixed-size leaf-block order (padding
+        # slots get degenerate rows) so a leaf visit is ONE packed-row
+        # gather in traversal.
+        tri_v0 = apply_slot_map(tri_v0, slot_map)
+        tri_e1 = apply_slot_map(tri_e1, slot_map)
+        tri_e2 = apply_slot_map(tri_e2, slot_map)
+        tri_gn = apply_slot_map(tri_gn, slot_map)
+        tri_index = apply_slot_map(tri_index, slot_map)
+        tri_material = apply_slot_map(tri_material, slot_map)
+        tri_primitive = apply_slot_map(tri_primitive, slot_map)
+        tri_local = apply_slot_map(tri_local, slot_map)
 
     # Pad triangles with degenerates (zero edges => det == 0 => no hit).
     tri_v0 = _pad_rows(tri_v0, PAD)
@@ -342,20 +374,48 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             n_nodes = bvh.node_count
             # Globalize skip pointers: block o lives at [o*Nn, (o+1)*Nn).
             offsets = (np.arange(8, dtype=np.int32) * n_nodes)[:, None]
-            dev.bvh_skip = jnp.asarray((skip8 + offsets).reshape(-1))
-            dev.bvh_leaf_first = jnp.asarray(leaf_first8.reshape(-1))
-            dev.bvh_leaf_count = jnp.asarray(leaf_count8.reshape(-1))
+            skip_g = (skip8 + offsets).reshape(-1)
+            lf = leaf_first8.reshape(-1)
+            lc = leaf_count8.reshape(-1)
+            dev.bvh_skip = jnp.asarray(skip_g)
+            dev.bvh_leaf_first = jnp.asarray(lf)
+            dev.bvh_leaf_count = jnp.asarray(lc)
             perm_flat = perm8.reshape(-1)
             dev.bvh_perm = jnp.asarray(perm_flat)
-            dev.bvh_bmin = jnp.asarray(bvh.bmin[perm_flat])
-            dev.bvh_bmax = jnp.asarray(bvh.bmax[perm_flat])
+            bmin_s = bvh.bmin[perm_flat]
+            bmax_s = bvh.bmax[perm_flat]
+            dev.bvh_bmin = jnp.asarray(bmin_s)
+            dev.bvh_bmax = jnp.asarray(bmax_s)
             dev.bvh_orders = 8
         else:
-            dev.bvh_bmin = jnp.asarray(bvh.bmin)
-            dev.bvh_bmax = jnp.asarray(bvh.bmax)
-            dev.bvh_skip = jnp.asarray(bvh.skip)
-            dev.bvh_leaf_first = jnp.asarray(bvh.leaf_first)
-            dev.bvh_leaf_count = jnp.asarray(bvh.leaf_count)
+            skip_g = bvh.skip
+            lf = bvh.leaf_first
+            lc = bvh.leaf_count
+            bmin_s = bvh.bmin
+            bmax_s = bvh.bmax
+            dev.bvh_bmin = jnp.asarray(bmin_s)
+            dev.bvh_bmax = jnp.asarray(bmax_s)
+            dev.bvh_skip = jnp.asarray(skip_g)
+            dev.bvh_leaf_first = jnp.asarray(lf)
+            dev.bvh_leaf_count = jnp.asarray(lc)
             dev.bvh_perm = jnp.arange(bvh.node_count, dtype=jnp.int32)
             dev.bvh_orders = 1
+
+        # Packed records: [bmin, bmax, bits(skip), bits(leaf_first|-1)].
+        tail = np.stack(
+            [skip_g.astype(np.int32).view(np.float32),
+             lf.astype(np.int32).view(np.float32)], axis=1,
+        )
+        dev.bvh_packed_tail = jnp.asarray(tail)
+        dev.bvh_packed = jnp.asarray(
+            np.concatenate([bmin_s, bmax_s, tail], axis=1).astype(np.float32)
+        )
+        n_blocks = (bvh.leaf_first.max() // max_leaf_size) + 1
+        flat = np.concatenate(
+            [np.asarray(tri_v0), np.asarray(tri_e1), np.asarray(tri_e2)],
+            axis=1,
+        )[: n_blocks * max_leaf_size]
+        dev.tri_blocks = jnp.asarray(
+            flat.reshape(n_blocks, max_leaf_size * 9)
+        )
     return dev

@@ -171,6 +171,33 @@ def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
     )
 
 
+def pad_leaves_to_blocks(bvh: HostBVH, block: int = 4):
+    """Rewrite leaves to fixed-size triangle blocks.
+
+    Returns (gather_map, new_bvh_leaf_first) where gather_map (T',)
+    maps padded triangle slots -> pre-pad triangle indices (-1 for
+    padding; callers fill those rows with degenerate triangles that
+    can never hit).  Every leaf then covers exactly ``block``
+    contiguous slots starting at a block-aligned offset, so traversal
+    fetches one packed row per leaf visit instead of per-triangle
+    gathers.  bvh.leaf_first is updated in place (build order).
+    """
+    leaf_nodes = np.nonzero(bvh.leaf_first >= 0)[0]
+    firsts = bvh.leaf_first[leaf_nodes]
+    counts = bvh.leaf_count[leaf_nodes]
+    # Keep triangle blocks in ascending spatial (Morton) order.
+    rank = np.argsort(firsts, kind="stable")
+    gather_map = np.full(len(leaf_nodes) * block, -1, dtype=np.int64)
+    for r, li in enumerate(rank):
+        node = leaf_nodes[li]
+        f = firsts[li]
+        c = counts[li]
+        gather_map[r * block: r * block + c] = np.arange(f, f + c)
+        bvh.leaf_first[node] = r * block
+        bvh.leaf_count[node] = c
+    return gather_map
+
+
 def octant_orders(bvh: HostBVH):
     """8 direction-octant DFS linearizations of a built tree.
 

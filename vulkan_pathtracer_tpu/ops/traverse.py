@@ -83,6 +83,9 @@ def bvh_closest_hit(scene, origin, direction, active=None,
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
+    use_packed = getattr(scene, "bvh_packed", None) is not None
+    n_blocks = scene.tri_blocks.shape[0] if use_packed else 0
+
     def cond(state):
         node, *_ = state
         return jnp.any(node < done_sentinel)
@@ -92,11 +95,18 @@ def bvh_closest_hit(scene, origin, direction, active=None,
         live = node < done_sentinel
         nd = jnp.minimum(node, done_sentinel - 1)  # clamp within block
 
-        bmin = jnp.take(scene.bvh_bmin, nd, axis=0)
-        bmax = jnp.take(scene.bvh_bmax, nd, axis=0)
-        skip = jnp.take(scene.bvh_skip, nd, axis=0)
-        leaf_first = jnp.take(scene.bvh_leaf_first, nd, axis=0)
-        leaf_count = jnp.take(scene.bvh_leaf_count, nd, axis=0)
+        if use_packed:
+            # ONE row gather for the whole node record.
+            rec = jnp.take(scene.bvh_packed, nd, axis=0)  # (N, 8)
+            bmin = rec[:, 0:3]
+            bmax = rec[:, 3:6]
+            skip = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32)
+            leaf_first = jax.lax.bitcast_convert_type(rec[:, 7], jnp.int32)
+        else:
+            bmin = jnp.take(scene.bvh_bmin, nd, axis=0)
+            bmax = jnp.take(scene.bvh_bmax, nd, axis=0)
+            skip = jnp.take(scene.bvh_skip, nd, axis=0)
+            leaf_first = jnp.take(scene.bvh_leaf_first, nd, axis=0)
 
         # Slab test against [tmin, min(t_best, tmax)].
         tx0 = (bmin[:, 0] - ox) * ix
@@ -119,24 +129,48 @@ def bvh_closest_hit(scene, origin, direction, active=None,
         is_leaf = leaf_first >= 0
         do_leaf = box_hit & is_leaf
 
-        # Leaf: static-unrolled MT over <= max_leaf_size contiguous tris.
-        for k in range(max_leaf_size):
-            ti = jnp.minimum(
-                leaf_first + k, scene.tri_v0.shape[0] - 1
+        if use_packed:
+            # ONE row gather for the whole (padded, degenerate-safe)
+            # triangle block: [tri0(v0,e1,e2) .. tri3(...)], 9 f32 each.
+            block_idx = jnp.where(
+                do_leaf, jnp.minimum(leaf_first // max_leaf_size,
+                                     n_blocks - 1), 0
             )
-            valid = do_leaf & (k < leaf_count)
-            tv0 = jnp.take(scene.tri_v0, ti, axis=0)
-            te1 = jnp.take(scene.tri_e1, ti, axis=0)
-            te2 = jnp.take(scene.tri_e2, ti, axis=0)
+            rows = jnp.take(scene.tri_blocks, block_idx, axis=0)
             t_lim = jnp.minimum(t_best, jnp.float32(tmax))
-            hit, t, u, v = moller_trumbore(
-                origin, direction, tv0, te1, te2, tmin, t_lim
-            )
-            take = valid & hit
-            t_best = jnp.where(take, t, t_best)
-            tri_best = jnp.where(take, ti.astype(jnp.int32), tri_best)
-            u_best = jnp.where(take, u, u_best)
-            v_best = jnp.where(take, v, v_best)
+            for k in range(max_leaf_size):
+                tri9 = rows[:, k * 9:(k + 1) * 9]
+                hit, t, u, v = moller_trumbore(
+                    origin, direction,
+                    tri9[:, 0:3], tri9[:, 3:6], tri9[:, 6:9],
+                    tmin, t_lim,
+                )
+                take = do_leaf & hit & (t < t_best)
+                t_best = jnp.where(take, t, t_best)
+                tri_best = jnp.where(
+                    take, (leaf_first + k).astype(jnp.int32), tri_best
+                )
+                u_best = jnp.where(take, u, u_best)
+                v_best = jnp.where(take, v, v_best)
+        else:
+            leaf_count = jnp.take(scene.bvh_leaf_count, nd, axis=0)
+            for k in range(max_leaf_size):
+                ti = jnp.minimum(
+                    leaf_first + k, scene.tri_v0.shape[0] - 1
+                )
+                valid = do_leaf & (k < leaf_count)
+                tv0 = jnp.take(scene.tri_v0, ti, axis=0)
+                te1 = jnp.take(scene.tri_e1, ti, axis=0)
+                te2 = jnp.take(scene.tri_e2, ti, axis=0)
+                t_lim = jnp.minimum(t_best, jnp.float32(tmax))
+                hit, t, u, v = moller_trumbore(
+                    origin, direction, tv0, te1, te2, tmin, t_lim
+                )
+                take = valid & hit
+                t_best = jnp.where(take, t, t_best)
+                tri_best = jnp.where(take, ti.astype(jnp.int32), tri_best)
+                u_best = jnp.where(take, u, u_best)
+                v_best = jnp.where(take, v, v_best)
 
         descend = box_hit & ~is_leaf
         next_node = jnp.where(descend, node + 1, skip)

@@ -31,7 +31,8 @@ def make_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
                         num_samples: int, num_bounces: int,
                         width: int, height: int, traversal: str = "bvh",
                         russian_roulette: bool = False,
-                        rr_start_bounce: int = 2, mode: str = "tiles"):
+                        rr_start_bounce: int = 2, mode: str = "tiles",
+                        ray_chunk: int = 0):
     """Build a jitted sharded frame function.
 
     Returns fn(scene, position, horizontal, vertical, forward, frame)
@@ -57,7 +58,7 @@ def make_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
                 width=width, height=height,
                 y_offset=y0, rows=rows_per_device,
                 traversal=traversal, russian_roulette=russian_roulette,
-                rr_start_bounce=rr_start_bounce,
+                rr_start_bounce=rr_start_bounce, ray_chunk=ray_chunk,
             )
             rays = jax.lax.psum(rays, TILE_AXIS)
             return image, rays
@@ -82,7 +83,7 @@ def make_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
                 num_samples=num_samples, num_bounces=num_bounces,
                 width=width, height=height,
                 traversal=traversal, russian_roulette=russian_roulette,
-                rr_start_bounce=rr_start_bounce,
+                rr_start_bounce=rr_start_bounce, ray_chunk=ray_chunk,
             )
             image = jax.lax.pmean(image, TILE_AXIS)
             rays = jax.lax.psum(rays, TILE_AXIS)
@@ -100,6 +101,42 @@ def make_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
         raise ValueError(f"unknown mode {mode}")
 
     return jax.jit(sharded)
+
+
+class ShardedRenderPipeline:
+    """Drop-in RenderPipeline replacement over an N-device mesh
+    (the --devices N path of the app driver)."""
+
+    def __init__(self, scene: DeviceScene, config, n_devices: int,
+                 mode: str = "tiles"):
+        from vulkan_pathtracer_tpu.parallel.mesh import make_render_mesh
+
+        self.config = config
+        self.width = config.render_width
+        self.height = config.render_height
+        self.mesh = make_render_mesh(n_devices)
+        self.scene = replicate_scene(scene, self.mesh)
+        traversal = config.traversal
+        if traversal == "auto":
+            traversal = "bvh" if scene.has_bvh else "brute"
+        self._fn = make_sharded_render(
+            self.mesh, self.scene,
+            num_samples=config.num_samples,
+            num_bounces=config.num_bounces,
+            width=self.width, height=self.height,
+            traversal=traversal,
+            russian_roulette=config.russian_roulette,
+            rr_start_bounce=config.rr_start_bounce,
+            mode=mode,
+            ray_chunk=config.ray_chunk,
+        )
+
+    def render(self, camera, frame: int):
+        position, horizontal, vertical, forward = (
+            jnp.asarray(v) for v in camera.push_constants()
+        )
+        return self._fn(self.scene, position, horizontal, vertical,
+                        forward, jnp.uint32(frame))
 
 
 def replicate_scene(scene: DeviceScene, mesh: Mesh) -> DeviceScene:

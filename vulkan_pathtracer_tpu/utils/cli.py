@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snapshot the accumulator every N frames")
     p.add_argument("--stats-interval", type=float, default=1.0,
                    help="seconds between stats log lines")
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--shard-mode", choices=["tiles", "spp"], default="tiles",
+                   help="multi-device sharding strategy for --devices > 1")
     p.add_argument("--save-every", type=int, default=0,
                    help="write the PNG every N frames (progressive preview)")
     return p
