@@ -1,0 +1,86 @@
+"""Pallas packet-traversal kernel vs the XLA traversal (interpret mode
+on CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vulkan_pathtracer_tpu.models import gltf
+from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+    fits_vmem,
+    pallas_closest_hit,
+)
+from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+
+
+@pytest.fixture(scope="module")
+def cols_dev(request):
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    return build_device_scene(scene, build_bvh=True)
+
+
+def _rays(n, seed=3):
+    rng = np.random.default_rng(seed)
+    origins = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    targets = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    d = targets - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(origins), jnp.asarray(d)
+
+
+def test_fits_vmem(cols_dev):
+    assert fits_vmem(cols_dev)
+
+
+def test_matches_xla_traversal(cols_dev):
+    o, d = _rays(1500)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_closest_hit(cols_dev, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_active_mask(cols_dev):
+    o, d = _rays(600, seed=9)
+    rng = np.random.default_rng(1)
+    act = jnp.asarray(rng.random(600) < 0.5)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_closest_hit(cols_dev, o, d, active=act, interpret=True)
+    a = np.asarray(act)
+    assert (np.asarray(got.t)[~a] >= 1e31).all()
+    assert (np.asarray(got.tri)[~a] == -1).all()
+    np.testing.assert_allclose(np.asarray(got.t)[a], np.asarray(ref.t)[a],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_non_packet_multiple(cols_dev):
+    """Ray counts that aren't PACKET multiples are padded correctly."""
+    o, d = _rays(777, seed=5)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_closest_hit(cols_dev, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_render_with_pallas_traversal(request):
+    """Full render with traversal='pallas' (interpret) matches 'bvh'."""
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.render.pipeline import render_frame
+
+    scene = gltf.load(request.getfixturevalue("box_glb"))
+    dev = build_device_scene(scene, build_bvh=True)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 0.4, -3], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    kwargs = dict(num_samples=1, num_bounces=2, width=24, height=24)
+    img_a, rays_a = render_frame(dev, pos, hor, ver, fwd, jnp.uint32(0),
+                                 traversal="bvh", **kwargs)
+    img_b, rays_b = render_frame(dev, pos, hor, ver, fwd, jnp.uint32(0),
+                                 traversal="pallas", **kwargs)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               rtol=1e-4, atol=1e-5)
+    assert float(rays_a) == float(rays_b)

@@ -374,6 +374,7 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             n_nodes = bvh.node_count
             # Globalize skip pointers: block o lives at [o*Nn, (o+1)*Nn).
             offsets = (np.arange(8, dtype=np.int32) * n_nodes)[:, None]
+            skip_local = skip8.reshape(-1)
             skip_g = (skip8 + offsets).reshape(-1)
             lf = leaf_first8.reshape(-1)
             lc = leaf_count8.reshape(-1)
@@ -389,6 +390,7 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             dev.bvh_orders = 8
         else:
             skip_g = bvh.skip
+            skip_local = bvh.skip
             lf = bvh.leaf_first
             lc = bvh.leaf_count
             bmin_s = bvh.bmin
@@ -402,8 +404,10 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             dev.bvh_orders = 1
 
         # Packed records: [bmin, bmax, bits(skip), bits(leaf_first|-1)].
+        # Skip pointers are LOCAL to their octant block (the Pallas
+        # kernel stages one block; the XLA path adds the base).
         tail = np.stack(
-            [skip_g.astype(np.int32).view(np.float32),
+            [skip_local.astype(np.int32).view(np.float32),
              lf.astype(np.int32).view(np.float32)], axis=1,
         )
         dev.bvh_packed_tail = jnp.asarray(tail)

@@ -100,7 +100,8 @@ def bvh_closest_hit(scene, origin, direction, active=None,
             rec = jnp.take(scene.bvh_packed, nd, axis=0)  # (N, 8)
             bmin = rec[:, 0:3]
             bmax = rec[:, 3:6]
-            skip = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32)
+            # Packed skips are octant-local; rebase per ray.
+            skip = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32) + base
             leaf_first = jax.lax.bitcast_convert_type(rec[:, 7], jnp.int32)
         else:
             bmin = jnp.take(scene.bvh_bmin, nd, axis=0)

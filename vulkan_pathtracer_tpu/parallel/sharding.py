@@ -117,8 +117,8 @@ class ShardedRenderPipeline:
         self.mesh = make_render_mesh(n_devices)
         self.scene = replicate_scene(scene, self.mesh)
         traversal = config.traversal
-        if traversal == "auto":
-            traversal = "bvh" if scene.has_bvh else "brute"
+        if traversal == "auto" and not scene.has_bvh:
+            traversal = "brute"
         self._fn = make_sharded_render(
             self.mesh, self.scene,
             num_samples=config.num_samples,

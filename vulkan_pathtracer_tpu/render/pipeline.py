@@ -95,7 +95,8 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 width: int, height: int, y_offset=0, rows: int = None,
                 traversal: str = "auto", russian_roulette: bool = False,
                 rr_start_bounce: int = 2,
-                ray_chunk: int = DEFAULT_RAY_CHUNK):
+                ray_chunk: int = DEFAULT_RAY_CHUNK,
+                sort_secondary: bool = False):
     """Render image rows [y_offset, y_offset+rows): the shared core of
     the single-chip frame and the per-device tile under shard_map.
 
@@ -125,6 +126,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 traversal=traversal,
                 russian_roulette=russian_roulette,
                 rr_start_bounce=rr_start_bounce,
+                sort_secondary=sort_secondary,
             )
             return (sx, sy, acc + color, rays + traced), None
 
@@ -166,20 +168,22 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     static_argnames=(
         "num_samples", "num_bounces", "width", "height", "traversal",
         "russian_roulette", "rr_start_bounce", "ray_chunk",
+        "sort_secondary",
     ),
 )
 def render_frame(scene: DeviceScene, position, horizontal, vertical,
                  forward, frame, *, num_samples: int, num_bounces: int,
                  width: int, height: int, traversal: str = "auto",
                  russian_roulette: bool = False, rr_start_bounce: int = 2,
-                 ray_chunk: int = DEFAULT_RAY_CHUNK):
+                 ray_chunk: int = DEFAULT_RAY_CHUNK,
+                 sort_secondary: bool = False):
     """One full frame: (H, W, 3) f32 linear radiance + rays traced."""
     return render_rows(
         scene, position, horizontal, vertical, forward, frame,
         num_samples=num_samples, num_bounces=num_bounces,
         width=width, height=height, traversal=traversal,
         russian_roulette=russian_roulette, rr_start_bounce=rr_start_bounce,
-        ray_chunk=ray_chunk,
+        ray_chunk=ray_chunk, sort_secondary=sort_secondary,
     )
 
 
@@ -193,8 +197,10 @@ class RenderPipeline:
         self.width = config.render_width
         self.height = config.render_height
         traversal = config.traversal
-        if traversal == "auto":
-            traversal = "bvh" if scene.has_bvh else "brute"
+        if traversal == "auto" and not scene.has_bvh:
+            traversal = "brute"
+        # "auto" + BVH stays auto: the wavefront picks the Pallas packet
+        # kernel on TPU when the scene fits VMEM, XLA traversal otherwise.
         self._traversal = traversal
 
     def render(self, camera: Camera, frame: int) -> Tuple[jnp.ndarray, float]:
@@ -213,6 +219,7 @@ class RenderPipeline:
             russian_roulette=self.config.russian_roulette,
             rr_start_bounce=self.config.rr_start_bounce,
             ray_chunk=self.config.ray_chunk,
+            sort_secondary=self.config.wavefront_compaction,
         )
         return image, rays
 

@@ -59,7 +59,47 @@ F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 def _closest_hit(scene, origin, direction, active, traversal: str):
     if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
         return brute_force_closest_hit(scene, origin, direction, active)
+    if traversal in ("pallas", "auto"):
+        import jax
+
+        from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+            fits_vmem,
+            pallas_closest_hit,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        if traversal == "pallas" or (on_tpu and fits_vmem(scene)):
+            return pallas_closest_hit(
+                scene, origin, direction, active, interpret=not on_tpu
+            )
     return bvh_closest_hit(scene, origin, direction, active)
+
+
+def _closest_hit_sorted(scene, origin, direction, active, traversal: str):
+    """Octant-sort rays before traversal so packets stay coherent
+    (matters for bounce rays under the Pallas packet kernel), then
+    scatter results back to pixel order."""
+    import jax.numpy as jnp_  # local alias for clarity
+
+    key = (
+        (direction[:, 0] < 0).astype(jnp_.int32)
+        + 2 * (direction[:, 1] < 0).astype(jnp_.int32)
+        + 4 * (direction[:, 2] < 0).astype(jnp_.int32)
+    )
+    if active is not None:
+        key = jnp_.where(active, key, 8)  # dead rays cluster at the end
+    order = jnp_.argsort(key)
+    inv = jnp_.argsort(order)
+    hit = _closest_hit(
+        scene,
+        origin[order],
+        direction[order],
+        None if active is None else active[order],
+        traversal,
+    )
+    return type(hit)(
+        t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv], v=hit.v[inv]
+    )
 
 
 def sky_color(direction):
@@ -72,7 +112,8 @@ def sky_color(direction):
 
 def trace_sample(scene, origin, direction, seed_x, seed_y, *,
                  num_bounces: int, traversal: str = "auto",
-                 russian_roulette: bool = False, rr_start_bounce: int = 2):
+                 russian_roulette: bool = False, rr_start_bounce: int = 2,
+                 sort_secondary: bool = False):
     """Trace one sample for all rays.
 
     Returns (color (N,3), new_seed_x, new_seed_y, rays_traced_f32).
@@ -85,7 +126,11 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
 
     for j in range(num_bounces):
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        hit = _closest_hit(scene, origin, direction, alive, traversal)
+        if sort_secondary and j > 0:
+            hit = _closest_hit_sorted(scene, origin, direction, alive,
+                                      traversal)
+        else:
+            hit = _closest_hit(scene, origin, direction, alive, traversal)
         missed = alive & (hit.t >= MISS_T)
         did_hit = alive & ~missed
 
