@@ -96,11 +96,26 @@ class AnimatedScene:
         tan_xyz = jnp.einsum("vij,vj->vi", A_v, self.obj_tangent[:, :3])
         tan = jnp.concatenate([tan_xyz, self.obj_tangent[:, 3:4]], axis=-1)
 
-        scene = dataclasses.replace(
-            self.base,
+        updates = dict(
             tri_v0=v0, tri_e1=e1, tri_e2=e2, tri_gn=gn,
             vert_normal=nrm, vert_tangent=tan,
         )
+        if self.base.tri_attr is not None:
+            # Rebuild the packed shading rows from the new attributes
+            # (uv + id columns are transform-invariant).
+            idx = self.base.tri_index
+            n0 = jnp.take(nrm, idx[:, 0], axis=0)
+            n1 = jnp.take(nrm, idx[:, 1], axis=0)
+            n2 = jnp.take(nrm, idx[:, 2], axis=0)
+            t0 = jnp.take(tan, idx[:, 0], axis=0)
+            t1 = jnp.take(tan, idx[:, 1], axis=0)
+            t2 = jnp.take(tan, idx[:, 2], axis=0)
+            updates["tri_attr"] = jnp.concatenate(
+                [n0, n1, n2, t0, t1, t2, self.base.tri_attr[:, 21:27],
+                 gn, self.base.tri_attr[:, 30:34]],
+                axis=1,
+            )
+        scene = dataclasses.replace(self.base, **updates)
         return refit_scene(scene)
 
 

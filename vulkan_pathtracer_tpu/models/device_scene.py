@@ -115,11 +115,17 @@ class DeviceScene:
     #   bmin.xyz, bmax.xyz, bitcast(skip), bitcast(leaf_first | -1)
     bvh_packed_tail: Optional[jnp.ndarray] = None  # (orders*Nn, 2) f32 static
     tri_blocks: Optional[jnp.ndarray] = None   # (n_leaves, block*9) f32
+    # Shading fast path: everything a hit needs in ONE row per triangle
+    # (3 vertex normals, 3 tangents, 3 uvs, geometric normal, material
+    # id) and one row per material (factors + texture table).
+    tri_attr: Optional[jnp.ndarray] = None     # (T, 34) f32
+    mat_packed: Optional[jnp.ndarray] = None   # (M, 8) uint32
 
     num_triangles: int = 0  # un-padded triangle count (static aux)
     bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
     max_leaf_size: int = 4  # static aux (leaf unroll factor)
     bvh_orders: int = 1     # 1 or 8 direction-octant linearizations
+    has_textures: bool = False  # static: texel pool beyond the dummy
 
     # -- pytree plumbing -----------------------------------------------------
     _ARRAY_FIELDS = (
@@ -133,18 +139,21 @@ class DeviceScene:
         "bvh_leaf_count", "bvh_left", "bvh_right",
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
+        "tri_attr", "mat_packed",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
         return children, (self.num_triangles, self.bvh_depth,
-                          self.max_leaf_size, self.bvh_orders)
+                          self.max_leaf_size, self.bvh_orders,
+                          self.has_textures)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kwargs = dict(zip(cls._ARRAY_FIELDS, children))
         return cls(num_triangles=aux[0], bvh_depth=aux[1],
-                   max_leaf_size=aux[2], bvh_orders=aux[3], **kwargs)
+                   max_leaf_size=aux[2], bvh_orders=aux[3],
+                   has_textures=aux[4], **kwargs)
 
     @property
     def has_bvh(self) -> bool:
@@ -359,6 +368,42 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         tex_height=jnp.asarray(np.asarray(heights, dtype=np.int32)),
         num_triangles=num_triangles,
     )
+
+    dev.has_textures = len(scene.textures) > 0
+
+    # Packed shading rows: one (34,) f32 gather per hit fetches all
+    # three vertices' normals/tangents/uvs + the geometric normal +
+    # material/primitive ids (render/shading.py fast path).
+    i0, i1, i2 = tri_index[:, 0], tri_index[:, 1], tri_index[:, 2]
+    attr = np.concatenate(
+        [
+            vert_normal[i0], vert_normal[i1], vert_normal[i2],      # 0:9
+            vert_tangent[i0], vert_tangent[i1], vert_tangent[i2],   # 9:21
+            vert_uv[i0], vert_uv[i1], vert_uv[i2],                  # 21:27
+            tri_gn,                                                 # 27:30
+            np.ascontiguousarray(tri_material).view(np.float32)[:, None],
+            np.ascontiguousarray(tri_primitive).view(np.float32)[:, None],
+            np.ascontiguousarray(tri_local).view(np.float32)[:, None],
+            np.zeros((tri_gn.shape[0], 1), np.float32),             # pad: 34
+        ],
+        axis=1,
+    ).astype(np.float32)
+    dev.tri_attr = jnp.asarray(attr)
+
+    mat_packed = np.stack(
+        [
+            mats["albedo_factor"].astype(np.uint32),
+            mats["metal_roughness_factor"].astype(np.uint32),
+            mats["emissive_factor"].astype(np.uint32),
+            np.asarray(dev.mat_albedo_tex).astype(np.uint32),
+            np.asarray(dev.mat_mr_tex).astype(np.uint32),
+            np.asarray(dev.mat_emissive_tex).astype(np.uint32),
+            np.asarray(dev.mat_normal_tex).astype(np.uint32),
+            np.asarray(dev.mat_has_normal_tex).astype(np.uint32),
+        ],
+        axis=1,
+    )
+    dev.mat_packed = jnp.asarray(mat_packed)
 
     if bvh is not None:
         from vulkan_pathtracer_tpu.ops.bvh import octant_orders, tree_depth

@@ -4,15 +4,19 @@ The XLA traversal (ops/traverse.py) is gather-bound: every ray fetches
 its own node row per step.  TPUs have no per-lane program counters or
 fast vector gathers, but they broadcast scalars to (8, 128) lanes for
 free.  So this kernel flips the parallelism: a *packet* of B rays
-shares ONE traversal cursor (a scalar in SMEM-land), and every visit
-tests all B rays against the broadcast node AABB on the VPU:
+shares ONE traversal cursor, and every visit tests all B rays against
+the broadcast node AABB on the VPU:
 
-  - grid = one step per ray packet;
-  - the packet's direction-octant picks which of the 8 near-first
+  - grid = one step per packet *group* (C packets interleaved — the
+    per-packet while chain is latency-bound: scalar node loads ->
+    vector slab -> cross-lane reduce -> scalar branch; C independent
+    cursors per body let the VLIW scheduler overlap the chains, ~1.8x
+    measured at C=2);
+  - the group's direction-octant picks which of the 8 near-first
     skip-pointer linearizations to stage into VMEM (scalar-prefetch
-    index map; consecutive packets with the same octant reuse the
+    index map; consecutive groups with the same octant reuse the
     staged block without re-DMA);
-  - node visit: 8 scalar VMEM reads (the packed node row) + a
+  - node visit: 8 scalar VMEM reads (packed node row + int meta) + a
     lane-parallel slab test + `any()` reduction; descend if any lane
     hit, else take the skip pointer — no stack, no gather;
   - leaf visit: the fixed-size-4 triangle block is read as 36 scalars
@@ -22,13 +26,13 @@ tests all B rays against the broadcast node AABB on the VPU:
 Ordering only affects *efficiency*, never results: a packet whose rays
 straddle octants still intersects everything (each lane keeps its own
 t_best).  Rays should be packed coherently (primary rays are, by
-image-tile construction) for the union-of-visits to stay near the
-per-ray visit count.
+image-tile construction; bounce rays benefit from the octant sort in
+render/wavefront.py) so the union-of-visits stays near the per-ray
+visit count.
 
-VMEM budget: one octant's node block (Nn x 8 f32) + the full leaf
-table (n_leaves x 36 f32) + ray/hit state. Scenes beyond the budget
-fall back to the XLA path (see traverse.dispatch logic in
-render/wavefront.py).
+VMEM budget: one octant's node block (Nn x 8 f32 + Nn x 2 i32) + the
+full leaf table (n_leaves x 36 f32) + ray/hit state.  Scenes beyond
+the budget fall back to the XLA path (render/wavefront.py dispatch).
 
 Semantics parity: identical MT + slab tests as ops/intersect.py /
 ops/traverse.py — tmin 0.001, tmax 10000, miss t == 1e32
@@ -47,184 +51,182 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
 
-PACKET = 1024  # rays per packet (multiple of 128)
+PACKET = 1024    # rays per packet (multiple of 128)
+INTERLEAVE = 2   # packets per kernel body (C)
 _LANE = 128
 
 
-def _traverse_kernel(octant_ref, nodes_ref, meta_ref, tris_ref, rays_ref,
-                     out_ref, *, n_nodes: int, block: int, tmin: float,
-                     tmax: float, packet: int):
-    del octant_ref  # consumed by the index map only
+def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
+                 tmin: float):
     sub = packet // _LANE
 
-    def comp(c):
-        return rays_ref[0, c, :].reshape(sub, _LANE)
+    def kernel(octant_ref, nodes_ref, meta_ref, tris_ref, rays_ref,
+               out_ref):
+        del octant_ref  # consumed by the index map only
+        comps = []
+        for c in range(C):
+            comps.append(
+                [rays_ref[0, c, i, :].reshape(sub, _LANE) for i in range(8)]
+            )
 
-    ox, oy, oz = comp(0), comp(1), comp(2)
-    dx, dy, dz = comp(3), comp(4), comp(5)
-    t_lane_max = comp(6)  # per-lane tmax (-1 for inactive lanes)
+        eps = jnp.float32(1e-20)
 
-    eps = jnp.float32(1e-20)
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
 
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < eps,
-                               jnp.where(d >= 0.0, eps, -eps), d)
+        inv = [[sinv(comps[c][3]), sinv(comps[c][4]), sinv(comps[c][5])]
+               for c in range(C)]
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        t0 = jnp.full((sub, _LANE), MISS_T)
+        tri0 = jnp.full((sub, _LANE), -1, jnp.int32)
+        zero = jnp.zeros((sub, _LANE), jnp.float32)
 
-    t0 = jnp.full((sub, _LANE), MISS_T, dtype=jnp.float32)
-    tri0 = jnp.full((sub, _LANE), -1, dtype=jnp.int32)
-    zero = jnp.zeros((sub, _LANE), dtype=jnp.float32)
+        def cond(state):
+            nodes = state[0]
+            alive = nodes[0] < n_nodes
+            for c in range(1, C):
+                alive = jnp.logical_or(alive, nodes[c] < n_nodes)
+            return alive
 
-    def cond(state):
-        node = state[0]
-        return node < n_nodes
-
-    def body(state):
-        node, t_best, tri_best, u_best, v_best = state
-
-        bminx = nodes_ref[0, node, 0]
-        bminy = nodes_ref[0, node, 1]
-        bminz = nodes_ref[0, node, 2]
-        bmaxx = nodes_ref[0, node, 3]
-        bmaxy = nodes_ref[0, node, 4]
-        bmaxz = nodes_ref[0, node, 5]
-        skip_i = meta_ref[0, node, 0]
-        leaf_i = meta_ref[0, node, 1]
-
-        tx0 = (bminx - ox) * ix
-        tx1 = (bmaxx - ox) * ix
-        ty0 = (bminy - oy) * iy
-        ty1 = (bmaxy - oy) * iy
-        tz0 = (bminz - oz) * iz
-        tz1 = (bmaxz - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
-        )
-        t_limit = jnp.minimum(t_best, t_lane_max)
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), t_limit),
-        )
-        box_hit = tn <= tf
-        any_hit = jnp.any(box_hit)
-        is_leaf = leaf_i >= 0
-
-        def leaf_case(args):
-            t_best, tri_best, u_best, v_best = args
-            row = leaf_i // block
-            for k in range(block):
-                base = k * 9
-                v0x = tris_ref[row, base + 0]
-                v0y = tris_ref[row, base + 1]
-                v0z = tris_ref[row, base + 2]
-                e1x = tris_ref[row, base + 3]
-                e1y = tris_ref[row, base + 4]
-                e1z = tris_ref[row, base + 5]
-                e2x = tris_ref[row, base + 6]
-                e2y = tris_ref[row, base + 7]
-                e2z = tris_ref[row, base + 8]
-
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                front = det > 0.0
-                inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                t_lim = jnp.minimum(t_best, t_lane_max)
-                hit = (
-                    front & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > tmin) & (t < t_lim) & box_hit
+        def body(state):
+            nodes, tb, trib, ub, vb = state
+            new_nodes = []
+            tb = list(tb)
+            trib = list(trib)
+            ub = list(ub)
+            vb = list(vb)
+            for c in range(C):
+                node = nodes[c]
+                nd = jnp.minimum(node, n_nodes - 1)
+                live = node < n_nodes
+                b = [nodes_ref[0, nd, i] for i in range(6)]
+                skip_i = meta_ref[0, nd, 0]
+                leaf_i = meta_ref[0, nd, 1]
+                ox, oy, oz, dx, dy, dz, tl, _ = comps[c]
+                ix, iy, iz = inv[c]
+                tx0 = (b[0] - ox) * ix
+                tx1 = (b[3] - ox) * ix
+                ty0 = (b[1] - oy) * iy
+                ty1 = (b[4] - oy) * iy
+                tz0 = (b[2] - oz) * iz
+                tz1 = (b[5] - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
                 )
-                t_best = jnp.where(hit, t, t_best)
-                tri_best = jnp.where(hit, leaf_i + k, tri_best)
-                u_best = jnp.where(hit, u, u_best)
-                v_best = jnp.where(hit, v, v_best)
-            return t_best, tri_best, u_best, v_best
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1),
+                                jnp.minimum(tb[c], tl)),
+                )
+                box_hit = tn <= tf
+                any_hit = jnp.logical_and(jnp.any(box_hit), live)
+                is_leaf = leaf_i >= 0
 
-        do_leaf = jnp.logical_and(any_hit, is_leaf)
-        t_best, tri_best, u_best, v_best = jax.lax.cond(
-            do_leaf, leaf_case, lambda a: a,
-            (t_best, tri_best, u_best, v_best),
-        )
+                def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
+                    t_best, tri_best, u_best, v_best = args
+                    ox, oy, oz, dx, dy, dz, tl, _ = comps[c]
+                    row = leaf_i // block
+                    for k in range(block):
+                        base = k * 9
+                        v0x = tris_ref[row, base + 0]
+                        v0y = tris_ref[row, base + 1]
+                        v0z = tris_ref[row, base + 2]
+                        e1x = tris_ref[row, base + 3]
+                        e1y = tris_ref[row, base + 4]
+                        e1z = tris_ref[row, base + 5]
+                        e2x = tris_ref[row, base + 6]
+                        e2y = tris_ref[row, base + 7]
+                        e2z = tris_ref[row, base + 8]
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        front = det > 0.0
+                        inv_det = 1.0 / jnp.where(front, det, 1.0)
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        t_lim = jnp.minimum(t_best, tl)
+                        hit = (front & (u >= 0.0) & (v >= 0.0)
+                               & (u + v <= 1.0) & (t > tmin)
+                               & (t < t_lim) & box_hit)
+                        t_best = jnp.where(hit, t, t_best)
+                        tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                        u_best = jnp.where(hit, u, u_best)
+                        v_best = jnp.where(hit, v, v_best)
+                    return t_best, tri_best, u_best, v_best
 
-        descend = jnp.logical_and(any_hit, jnp.logical_not(is_leaf))
-        next_node = jnp.where(descend, node + 1, skip_i)
-        return next_node, t_best, tri_best, u_best, v_best
+                do_leaf = jnp.logical_and(any_hit, is_leaf)
+                tb[c], trib[c], ub[c], vb[c] = jax.lax.cond(
+                    do_leaf, leaf_case, lambda a: a,
+                    (tb[c], trib[c], ub[c], vb[c]),
+                )
+                descend = jnp.logical_and(any_hit, jnp.logical_not(is_leaf))
+                nxt = jnp.where(descend, node + 1, skip_i)
+                new_nodes.append(jnp.where(live, nxt, node))
+            return (tuple(new_nodes), tuple(tb), tuple(trib), tuple(ub),
+                    tuple(vb))
 
-    node0 = jnp.int32(0)
-    _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-        cond, body, (node0, t0, tri0, zero, zero)
-    )
+        init = (tuple(jnp.int32(0) for _ in range(C)),
+                tuple(t0 for _ in range(C)),
+                tuple(tri0 for _ in range(C)),
+                tuple(zero for _ in range(C)),
+                tuple(zero for _ in range(C)))
+        _, tb, trib, ub, vb = jax.lax.while_loop(cond, body, init)
+        for c in range(C):
+            out_ref[0, c, 0, :] = tb[c].reshape(-1)
+            out_ref[0, c, 1, :] = jax.lax.bitcast_convert_type(
+                trib[c], jnp.float32
+            ).reshape(-1)
+            out_ref[0, c, 2, :] = ub[c].reshape(-1)
+            out_ref[0, c, 3, :] = vb[c].reshape(-1)
 
-    out_ref[0, 0, :] = t_best.reshape(-1)
-    out_ref[0, 1, :] = jax.lax.bitcast_convert_type(
-        tri_best, jnp.float32
-    ).reshape(-1)
-    out_ref[0, 2, :] = u_best.reshape(-1)
-    out_ref[0, 3, :] = v_best.reshape(-1)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _packet_traverse(nodes8, meta8, tris, rays, octants, *, interpret=False):
     """nodes8: (8, Nn, 8) f32; meta8: (8, Nn, 2) int32 (skip, leaf);
-    tris: (n_leaves, block*9) f32; rays: (P, 8, PACKET) f32;
-    octants: (P,) int32.  Returns (P, 4, PACKET) f32."""
+    tris: (n_leaves, block*9) f32; rays: (G, C, 8, PACKET) f32;
+    octants: (G,) int32.  Returns (G, C, 4, PACKET) f32."""
     n_oct, n_nodes, _ = nodes8.shape
     n_leaves, row_w = tris.shape
     block = row_w // 9
-    p = rays.shape[0]
-    packet = rays.shape[2]
+    g, C, _, packet = rays.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(p,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec(
-                (1, n_nodes, 8),
-                lambda i, octs: (octs[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n_nodes, 2),
-                lambda i, octs: (octs[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n_leaves, row_w),
-                lambda i, octs: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 8, packet),
-                lambda i, octs: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_nodes, 2), lambda i, octs: (octs[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 8, packet),
+                         lambda i, octs: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 4, packet),
-            lambda i, octs: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec((1, C, 4, packet),
+                               lambda i, octs: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(
-        _traverse_kernel, n_nodes=n_nodes, block=block,
-        tmin=TMIN, tmax=TMAX, packet=packet,
-    )
+    kernel = _make_kernel(n_nodes, block, packet, C, TMIN)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p, 4, packet), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, C, 4, packet), jnp.float32),
         interpret=interpret,
     )(octants, nodes8, meta8, tris, rays)
 
@@ -233,8 +235,9 @@ def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
-    Pads the ray set to a PACKET multiple; inactive/padding lanes get
-    per-lane tmax = -1 so they never hit (and never extend traversal).
+    Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
+    lanes get per-lane tmax = -1 so they never hit (and never extend
+    traversal).
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
@@ -248,8 +251,10 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
 
-    pad = (-n) % PACKET
+    group = PACKET * INTERLEAVE
+    pad = (-n) % group
     total = n + pad
+    n_groups = total // group
 
     def pad1(x, fill=0.0):
         return jnp.pad(x, (0, pad), constant_values=fill)
@@ -263,10 +268,10 @@ def pallas_closest_hit(scene, origin, direction, active=None,
             jnp.zeros((total,), jnp.float32),
         ],
         axis=0,
-    ).reshape(8, total // PACKET, PACKET).transpose(1, 0, 2)
+    ).reshape(8, n_groups, INTERLEAVE, PACKET).transpose(1, 2, 0, 3)
 
     oct_padded = jnp.pad(octant, (0, pad))
-    packet_oct = oct_padded.reshape(total // PACKET, PACKET)[:, 0]
+    group_oct = oct_padded.reshape(n_groups, group)[:, 0]
 
     nodes8 = scene.bvh_packed.reshape(scene.bvh_orders, n_nodes, 8)
     meta8 = jax.lax.bitcast_convert_type(
@@ -274,8 +279,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     ).reshape(scene.bvh_orders, n_nodes, 2)
 
     out = _packet_traverse(nodes8, meta8, scene.tri_blocks, rays,
-                           packet_oct, interpret=interpret)
-    out = out.transpose(1, 0, 2).reshape(4, total)[:, :n]
+                           group_oct, interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
@@ -286,7 +291,7 @@ def fits_vmem(scene, budget_bytes: int = 12 * 1024 * 1024) -> bool:
     if scene.bvh_packed is None or scene.tri_blocks is None:
         return False
     n_nodes = scene.bvh_packed.shape[0] // scene.bvh_orders
-    node_bytes = n_nodes * 8 * 4
+    node_bytes = n_nodes * 10 * 4
     tri_bytes = int(np.prod(scene.tri_blocks.shape)) * 4
-    state = 8 * PACKET * 4 * 4
+    state = 8 * PACKET * INTERLEAVE * 4 * 4
     return (node_bytes * 2 + tri_bytes + state) < budget_bytes

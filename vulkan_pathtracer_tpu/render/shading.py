@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vulkan_pathtracer_tpu.ops.packing import unpack_unorm4x8
@@ -46,13 +47,42 @@ def get_triangle_data(scene, hit) -> TriangleData:
     """Gather + interpolate hit attributes (triangle.glsl:46-112).
 
     Lanes with hit.tri < 0 produce garbage-but-finite values; callers
-    mask on the hit flag.
+    mask on the hit flag.  Fast path: ONE (34,) packed-row gather per
+    hit (scene.tri_attr) instead of ~14 separate array gathers.
     """
     tri = jnp.maximum(hit.tri, 0)
-    idx = jnp.take(scene.tri_index, tri, axis=0)  # (N, 3)
     w1 = hit.u
     w2 = hit.v
     w0 = 1.0 - w1 - w2
+
+    if getattr(scene, "tri_attr", None) is not None:
+        row = jnp.take(scene.tri_attr, tri, axis=0)  # (N, 34)
+        w0e = w0[:, None]
+        w1e = w1[:, None]
+        w2e = w2[:, None]
+        normal = normalize(
+            row[:, 0:3] * w0e + row[:, 3:6] * w1e + row[:, 6:9] * w2e
+        )
+        tangent4 = (
+            row[:, 9:13] * w0e + row[:, 13:17] * w1e + row[:, 17:21] * w2e
+        )
+        tangent = jnp.concatenate(
+            [normalize(tangent4[:, :3]), tangent4[:, 3:4]], axis=-1
+        )
+        uv = row[:, 21:23] * w0e + row[:, 23:25] * w1e + row[:, 25:27] * w2e
+        geometry_normal = row[:, 27:30]
+        ids = jax.lax.bitcast_convert_type(row[:, 30:33], jnp.int32)
+        return TriangleData(
+            uv=uv,
+            normal=normal,
+            tangent=tangent,
+            geometry_normal=geometry_normal,
+            material_index=ids[:, 0],
+            primitive_index=ids[:, 1],
+            triangle_index=ids[:, 2],
+        )
+
+    idx = jnp.take(scene.tri_index, tri, axis=0)  # (N, 3)
 
     def interp(arr):
         a0 = jnp.take(arr, idx[:, 0], axis=0)
@@ -82,11 +112,36 @@ def get_triangle_data(scene, hit) -> TriangleData:
 
 
 def get_material_data(scene, tri_data: TriangleData) -> MaterialData:
-    """material.glsl:31-68 with dummy-white texture unification."""
+    """material.glsl:31-68 with dummy-white texture unification.
+
+    Fast paths: one packed (8,) uint32 material-row gather per hit;
+    texture sampling elided entirely for textureless scenes (the
+    factors multiply by exactly 1.0 either way, matching the dummy
+    white texel).
+    """
     m = tri_data.material_index
 
-    def sample(tex_index_table):
-        tex_idx = jnp.take(tex_index_table, m)
+    if getattr(scene, "mat_packed", None) is not None:
+        mrow = jnp.take(scene.mat_packed, m, axis=0)  # (N, 8) uint32
+        albedo_word = mrow[:, 0]
+        mr_word = mrow[:, 1]
+        emissive_word = mrow[:, 2]
+        albedo_tex = mrow[:, 3].astype(jnp.int32)
+        mr_tex_i = mrow[:, 4].astype(jnp.int32)
+        emissive_tex = mrow[:, 5].astype(jnp.int32)
+        normal_tex = mrow[:, 6].astype(jnp.int32)
+        has_map = mrow[:, 7] != 0
+    else:
+        albedo_word = jnp.take(scene.mat_albedo_factor, m)
+        mr_word = jnp.take(scene.mat_mr_factor, m)
+        emissive_word = jnp.take(scene.mat_emissive_factor, m)
+        albedo_tex = jnp.take(scene.mat_albedo_tex, m)
+        mr_tex_i = jnp.take(scene.mat_mr_tex, m)
+        emissive_tex = jnp.take(scene.mat_emissive_tex, m)
+        normal_tex = jnp.take(scene.mat_normal_tex, m)
+        has_map = jnp.take(scene.mat_has_normal_tex, m)
+
+    def sample(tex_idx):
         return sample_bilinear(
             scene.tex_texels,
             scene.tex_offset,
@@ -96,30 +151,43 @@ def get_material_data(scene, tri_data: TriangleData) -> MaterialData:
             tri_data.uv,
         )
 
-    ar, ag, ab, aa = unpack_unorm4x8(jnp.take(scene.mat_albedo_factor, m))
-    albedo = jnp.stack([ar, ag, ab, aa], axis=-1) * sample(scene.mat_albedo_tex)
+    textured = bool(scene.has_textures)
 
-    _, mr_g, mr_b, _ = unpack_unorm4x8(jnp.take(scene.mat_mr_factor, m))
-    mr_tex = sample(scene.mat_mr_tex)
-    roughness = mr_g * mr_tex[:, 1]
-    metallic = mr_b * mr_tex[:, 2]
+    ar, ag, ab, aa = unpack_unorm4x8(albedo_word)
+    albedo = jnp.stack([ar, ag, ab, aa], axis=-1)
+    if textured:
+        albedo = albedo * sample(albedo_tex)
 
-    er, eg, eb, _ = unpack_unorm4x8(jnp.take(scene.mat_emissive_factor, m))
-    emissive = jnp.stack([er, eg, eb], axis=-1) * sample(scene.mat_emissive_tex)[:, :3]
+    _, mr_g, mr_b, _ = unpack_unorm4x8(mr_word)
+    if textured:
+        mr_tex = sample(mr_tex_i)
+        roughness = mr_g * mr_tex[:, 1]
+        metallic = mr_b * mr_tex[:, 2]
+    else:
+        roughness = mr_g
+        metallic = mr_b
 
-    # Normal mapping (material.glsl:56-67): note the reference does NOT
-    # re-normalize after the TBN transform.
-    nrm_tex = sample(scene.mat_normal_tex)[:, :3]
-    n_ts = normalize(2.0 * nrm_tex - 1.0)
-    tangent_xyz = tri_data.tangent[:, :3]
-    bitangent = cross(tri_data.normal, tangent_xyz) * tri_data.tangent[:, 3:4]
-    mapped = (
-        tangent_xyz * n_ts[:, 0:1]
-        + bitangent * n_ts[:, 1:2]
-        + tri_data.normal * n_ts[:, 2:3]
-    )
-    has_map = jnp.take(scene.mat_has_normal_tex, m)
-    normal = jnp.where(has_map[:, None], mapped, tri_data.normal)
+    er, eg, eb, _ = unpack_unorm4x8(emissive_word)
+    emissive = jnp.stack([er, eg, eb], axis=-1)
+    if textured:
+        emissive = emissive * sample(emissive_tex)[:, :3]
+
+    normal = tri_data.normal
+    if textured:
+        # Normal mapping (material.glsl:56-67): the reference does NOT
+        # re-normalize after the TBN transform.
+        nrm_tex = sample(normal_tex)[:, :3]
+        n_ts = normalize(2.0 * nrm_tex - 1.0)
+        tangent_xyz = tri_data.tangent[:, :3]
+        bitangent = (
+            cross(tri_data.normal, tangent_xyz) * tri_data.tangent[:, 3:4]
+        )
+        mapped = (
+            tangent_xyz * n_ts[:, 0:1]
+            + bitangent * n_ts[:, 1:2]
+            + tri_data.normal * n_ts[:, 2:3]
+        )
+        normal = jnp.where(has_map[:, None], mapped, tri_data.normal)
 
     return MaterialData(
         albedo=albedo,

@@ -75,21 +75,46 @@ def _closest_hit(scene, origin, direction, active, traversal: str):
     return bvh_closest_hit(scene, origin, direction, active)
 
 
-def _closest_hit_sorted(scene, origin, direction, active, traversal: str):
-    """Octant-sort rays before traversal so packets stay coherent
-    (matters for bounce rays under the Pallas packet kernel), then
-    scatter results back to pixel order."""
-    import jax.numpy as jnp_  # local alias for clarity
+def _interleave10(v):
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
 
-    key = (
-        (direction[:, 0] < 0).astype(jnp_.int32)
-        + 2 * (direction[:, 1] < 0).astype(jnp_.int32)
-        + 4 * (direction[:, 2] < 0).astype(jnp_.int32)
+
+def _closest_hit_sorted(scene, origin, direction, active, traversal: str):
+    """Sort rays by (direction octant, origin Morton) before traversal
+    so packets stay coherent (2-3x on bounce rays under the Pallas
+    packet kernel; dead rays cluster at the end and their packets
+    terminate immediately), then scatter results back to pixel order.
+    Per-ray results are identical to the unsorted dispatch."""
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.uint32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
     )
+    if scene.has_bvh:
+        # Scene bounds = octant-0 root node of the packed BVH.
+        lo = scene.bvh_packed[0, 0:3]
+        hi = scene.bvh_packed[0, 3:6]
+        ext = jnp.maximum(hi - lo, 1e-9)
+        q = jnp.clip((origin - lo) / ext * 1023.0, 0.0, 1023.0).astype(
+            jnp.uint32
+        )
+        morton = (
+            _interleave10(q[:, 0])
+            | (_interleave10(q[:, 1]) << 1)
+            | (_interleave10(q[:, 2]) << 2)
+        )
+        key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
+    else:
+        key = octant
     if active is not None:
-        key = jnp_.where(active, key, 8)  # dead rays cluster at the end
-    order = jnp_.argsort(key)
-    inv = jnp_.argsort(order)
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    inv = jnp.argsort(order)
     hit = _closest_hit(
         scene,
         origin[order],

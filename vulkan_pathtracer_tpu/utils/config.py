@@ -30,8 +30,10 @@ class RenderConfig:
     progressive: bool = False       # accumulate across frames
     russian_roulette: bool = False  # RR path termination after bounce 2
     rr_start_bounce: int = 2
-    traversal: str = "auto"         # auto | bvh | brute
-    wavefront_compaction: bool = False  # sort rays for gather coherence
+    traversal: str = "auto"         # auto | bvh | brute | pallas
+    # Sort bounce rays by (octant, origin Morton) before traversal —
+    # pure scheduling, per-ray results unchanged; 2-3x on bounces.
+    wavefront_compaction: bool = True
     ray_chunk: int = 1 << 17        # rays per dispatch chunk (0 = off)
     dtype: str = "float32"
 
