@@ -48,13 +48,29 @@ def main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     grid = int(os.environ.get("BENCH_GRID", 14))
     segments = int(os.environ.get("BENCH_SEGMENTS", 24))
+    scene_kind = os.environ.get("BENCH_SCENE", "columns")
 
-    scene_path = os.path.join(
-        tempfile.gettempdir(), f"bench_columns_{grid}_{segments}.glb"
-    )
-    if not os.path.exists(scene_path):
-        make_columns(scene_path, grid=grid, segments=segments,
-                     n_materials=32)
+    if scene_kind == "columns":
+        scene_path = os.path.join(
+            tempfile.gettempdir(), f"bench_columns_{grid}_{segments}.glb"
+        )
+        if not os.path.exists(scene_path):
+            make_columns(scene_path, grid=grid, segments=segments,
+                         n_materials=32)
+    else:
+        from assets.procedural import (
+            make_box,
+            make_cornell,
+            make_textured_sphere,
+        )
+
+        makers = {"box": make_box, "cornell": make_cornell,
+                  "sphere": make_textured_sphere}
+        scene_path = os.path.join(
+            tempfile.gettempdir(), f"bench_{scene_kind}.glb"
+        )
+        if not os.path.exists(scene_path):
+            makers[scene_kind](scene_path)
 
     scene = gltf.load(scene_path)
     dev = build_device_scene(scene, build_bvh=True)
@@ -72,7 +88,13 @@ def main() -> int:
 
     from vulkan_pathtracer_tpu.app.camera_path import orbit_path
 
-    path = orbit_path(radius=float(grid), height=4.0, duration=4.0)
+    # Orbit radius from the scene bounds (octant-0 BVH root).
+    root_min = np.asarray(dev.bvh_packed[0, 0:3])
+    root_max = np.asarray(dev.bvh_packed[0, 3:6])
+    extent = float(np.max(root_max - root_min))
+    center = (root_min + root_max) * 0.5
+    path = orbit_path(radius=0.75 * extent, height=0.35 * extent,
+                      duration=4.0, center=tuple(center))
     cam = Camera(aspect_ratio=config.aspect_ratio)
 
     # Warmup / compile. NOTE: through the axon relay,

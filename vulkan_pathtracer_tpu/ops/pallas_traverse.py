@@ -10,8 +10,7 @@ the broadcast node AABB on the VPU:
   - grid = one step per packet *group* (C packets interleaved — the
     per-packet while chain is latency-bound: scalar node loads ->
     vector slab -> cross-lane reduce -> scalar branch; C independent
-    cursors per body let the VLIW scheduler overlap the chains, ~1.8x
-    measured at C=2);
+    cursors per body let the VLIW scheduler overlap the chains);
   - the group's direction-octant picks which of the 8 near-first
     skip-pointer linearizations to stage into VMEM (scalar-prefetch
     index map; consecutive groups with the same octant reuse the
@@ -23,16 +22,21 @@ the broadcast node AABB on the VPU:
     and intersected against all lanes (Möller–Trumbore, backface cull)
     under a scalar branch.
 
+**VMEM layout**: Mosaic scalar loads need STATIC lane indices, so the
+node table is (Nn, 8) f32 rows — dynamic node index on the sublane
+dim, static field index on the lane dim — which the (8,128) tiling
+pads to 512B/node.  skip/leaf live in the same row as FLOAT-VALUED
+ints (exact below 2^24) so no second table is staged.  The leaf table
+is (n_leaves, block*9) with the same padding.  fits_vmem() accounts
+for the padded sizes; scenes beyond the budget (~20k triangles at
+block=4) fall back to the XLA path.  Roadmap: HBM-streamed leaf
+tables + wide nodes lift the ceiling.
+
 Ordering only affects *efficiency*, never results: a packet whose rays
 straddle octants still intersects everything (each lane keeps its own
 t_best).  Rays should be packed coherently (primary rays are, by
-image-tile construction; bounce rays benefit from the octant sort in
-render/wavefront.py) so the union-of-visits stays near the per-ray
-visit count.
-
-VMEM budget: one octant's node block (Nn x 8 f32 + Nn x 2 i32) + the
-full leaf table (n_leaves x 36 f32) + ray/hit state.  Scenes beyond
-the budget fall back to the XLA path (render/wavefront.py dispatch).
+image-tile construction; bounce rays get the octant+Morton sort in
+render/wavefront.py).
 
 Semantics parity: identical MT + slab tests as ops/intersect.py /
 ops/traverse.py — tmin 0.001, tmax 10000, miss t == 1e32
@@ -60,9 +64,9 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                  tmin: float):
     sub = packet // _LANE
 
-    def kernel(octant_ref, nodes_ref, meta_ref, tris_ref, rays_ref,
-               out_ref):
+    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
         del octant_ref  # consumed by the index map only
+
         comps = []
         for c in range(C):
             comps.append(
@@ -101,8 +105,9 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 nd = jnp.minimum(node, n_nodes - 1)
                 live = node < n_nodes
                 b = [nodes_ref[0, nd, i] for i in range(6)]
-                skip_i = meta_ref[0, nd, 0]
-                leaf_i = meta_ref[0, nd, 1]
+                skip_i = nodes_ref[0, nd, 6].astype(jnp.int32)
+                leaf_f = nodes_ref[0, nd, 7]
+                leaf_i = leaf_f.astype(jnp.int32)
                 ox, oy, oz, dx, dy, dz, tl, _ = comps[c]
                 ix, iy, iz = inv[c]
                 tx0 = (b[0] - ox) * ix
@@ -124,7 +129,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 )
                 box_hit = tn <= tf
                 any_hit = jnp.logical_and(jnp.any(box_hit), live)
-                is_leaf = leaf_i >= 0
+                is_leaf = leaf_f >= 0.0
 
                 def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
                     t_best, tri_best, u_best, v_best = args
@@ -195,11 +200,11 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _packet_traverse(nodes8, meta8, tris, rays, octants, *, interpret=False):
-    """nodes8: (8, Nn, 8) f32; meta8: (8, Nn, 2) int32 (skip, leaf);
+def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
+    """nodes8: (8, Nn, 8) f32 (bmin|bmax|skip|leaf as float values);
     tris: (n_leaves, block*9) f32; rays: (G, C, 8, PACKET) f32;
     octants: (G,) int32.  Returns (G, C, 4, PACKET) f32."""
-    n_oct, n_nodes, _ = nodes8.shape
+    _, n_nodes, _ = nodes8.shape
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, C, _, packet = rays.shape
@@ -209,8 +214,6 @@ def _packet_traverse(nodes8, meta8, tris, rays, octants, *, interpret=False):
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_nodes, 2), lambda i, octs: (octs[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -223,12 +226,17 @@ def _packet_traverse(nodes8, meta8, tris, rays, octants, *, interpret=False):
                                memory_space=pltpu.VMEM),
     )
     kernel = _make_kernel(n_nodes, block, packet, C, TMIN)
+    # Default scoped-VMEM limit is 16MB; v5e has 128MB — size the limit
+    # to the (lane-padded) tables + state, capped below the hardware.
+    need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, C, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(octants, nodes8, meta8, tris, rays)
+    )(octants, nodes8, tris, rays)
 
 
 def pallas_closest_hit(scene, origin, direction, active=None,
@@ -241,6 +249,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
+    block = scene.max_leaf_size
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -273,25 +282,32 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     oct_padded = jnp.pad(octant, (0, pad))
     group_oct = oct_padded.reshape(n_groups, group)[:, 0]
 
-    nodes8 = scene.bvh_packed.reshape(scene.bvh_orders, n_nodes, 8)
-    meta8 = jax.lax.bitcast_convert_type(
-        scene.bvh_packed_tail, jnp.int32
-    ).reshape(scene.bvh_orders, n_nodes, 2)
+    # Node rows with skip/leaf as FLOAT VALUES (scalar bitcasts are not
+    # lowerable in Mosaic; int values < 2^24 are exact in f32).
+    meta_i = jax.lax.bitcast_convert_type(scene.bvh_packed_tail, jnp.int32)
+    nodes8 = jnp.concatenate(
+        [scene.bvh_packed[:, 0:6], meta_i.astype(jnp.float32)], axis=1
+    ).reshape(scene.bvh_orders, n_nodes, 8)
 
-    out = _packet_traverse(nodes8, meta8, scene.tri_blocks, rays,
-                           group_oct, interpret=interpret)
+    out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
+                           interpret=interpret)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
-def fits_vmem(scene, budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """Whether one octant's nodes + the leaf table fit the VMEM budget."""
+def fits_vmem(scene, budget_bytes: int = 100 * 1024 * 1024) -> bool:
+    """Whether one octant's node rows (double-buffered) + the leaf
+    table + ray state fit VMEM (v5e: 128MB total).  Mosaic tiles the
+    8-wide lane dim up to 128, so a node row costs 512B and a leaf row
+    512B regardless of logical width — ceiling ~90k nodes per octant
+    (~140k triangles)."""
     if scene.bvh_packed is None or scene.tri_blocks is None:
         return False
     n_nodes = scene.bvh_packed.shape[0] // scene.bvh_orders
-    node_bytes = n_nodes * 10 * 4
-    tri_bytes = int(np.prod(scene.tri_blocks.shape)) * 4
-    state = 8 * PACKET * INTERLEAVE * 4 * 4
-    return (node_bytes * 2 + tri_bytes + state) < budget_bytes
+    node_bytes = n_nodes * 512          # (Nn, 8) -> (8,128)-tile padded
+    tri_rows = scene.tri_blocks.shape[0]
+    tri_bytes = tri_rows * 512          # (L, 36) -> lane-padded
+    state = 8 * PACKET * INTERLEAVE * 4 * 4 * 2
+    return (2 * node_bytes + tri_bytes + state) < budget_bytes

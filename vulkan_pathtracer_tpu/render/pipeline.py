@@ -226,3 +226,20 @@ class RenderPipeline:
     def render_numpy(self, camera: Camera, frame: int):
         image, rays = self.render(camera, frame)
         return np.asarray(image), float(rays)
+
+    def resize(self, width: int, height: int) -> "RenderPipeline":
+        """Resolution change — the RaytracingPass.resize analog
+        (RaytracingPass.zig:677-704).  Like the reference, the new
+        render target uses the FULL new extent (the resolution divider
+        is not reapplied — documented quirk); a new pipeline (=
+        recompile on next render) is returned.
+        """
+        import dataclasses
+
+        new_config = dataclasses.replace(
+            self.config,
+            resolution_x=width,
+            resolution_y=height,
+            render_resolution_divider=1,
+        )
+        return RenderPipeline(self.scene, new_config)
