@@ -65,23 +65,38 @@ struct Builder {
     int64_t cap;
 
     int64_t find_split(int64_t start, int64_t end) const {
+        int64_t split;
         uint32_t first = codes[start];
         uint32_t last = codes[end - 1];
-        if (first == last) return (start + end) / 2;
-        uint32_t common = first ^ last;
-        int split_bit = 31 - __builtin_clz(common);
-        uint32_t mask = 1u << split_bit;
-        // binary search for the first index with the bit set
-        int64_t lo = start, hi = end;  // invariant: codes[start]&mask==0
-        while (lo + 1 < hi) {
-            int64_t mid = (lo + hi) / 2;
-            if (codes[mid] & mask)
-                hi = mid;
-            else
-                lo = mid;
+        if (first == last) {
+            split = (start + end) / 2;
+        } else {
+            uint32_t common = first ^ last;
+            int split_bit = 31 - __builtin_clz(common);
+            uint32_t mask = 1u << split_bit;
+            // binary search for the first index with the bit set
+            int64_t lo = start, hi = end;  // codes[start]&mask==0
+            while (lo + 1 < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (codes[mid] & mask)
+                    hi = mid;
+                else
+                    lo = mid;
+            }
+            split = hi;
+            if (split <= start || split >= end) split = (start + end) / 2;
         }
-        int64_t split = hi;
-        if (split <= start || split >= end) return (start + end) / 2;
+        // Snap to a leaf-block multiple (ranges start block-aligned
+        // from the root, so every leaf fills a whole block — halves
+        // node count and VMEM footprint vs ragged leaves).
+        int64_t b = max_leaf;
+        int64_t rel = split - start;
+        int64_t snapped = ((rel + b / 2) / b) * b;
+        if (snapped <= 0) snapped = b;
+        if (start + snapped >= end) snapped = ((end - start - 1) / b) * b;
+        if (snapped <= 0) snapped = b;
+        split = start + snapped;
+        if (split >= end) split = (start + end) / 2;  // tiny ranges
         return split;
     }
 

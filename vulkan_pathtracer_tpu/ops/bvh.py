@@ -111,21 +111,36 @@ def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
     right_l: list = []
 
     def find_split(start: int, end: int) -> int:
-        """Highest-differing-bit split (LBVH), median fallback."""
+        """Highest-differing-bit split (LBVH), median fallback, snapped
+        to leaf-block multiples so leaves fill whole blocks (matches
+        native/lbvh.cpp)."""
         first = codes[start]
         last = codes[end - 1]
         if first == last:
-            return (start + end) // 2
-        # Most significant differing bit.
-        common = int(first ^ last)
-        split_bit = common.bit_length() - 1
-        mask = np.uint32(1 << split_bit)
-        # First index in [start, end) where the bit flips on.
-        seg = codes[start:end] & mask
-        idx = int(np.searchsorted(seg, 1))  # seg is 0...0 1...1
-        split = start + idx
-        if split <= start or split >= end:
-            return (start + end) // 2
+            split = (start + end) // 2
+        else:
+            # Most significant differing bit.
+            common = int(first ^ last)
+            split_bit = common.bit_length() - 1
+            mask = np.uint32(1 << split_bit)
+            # First index in [start, end) where the bit flips on.
+            seg = codes[start:end] & mask
+            idx = int(np.searchsorted(seg, 1))  # seg is 0...0 1...1
+            split = start + idx
+            if split <= start or split >= end:
+                split = (start + end) // 2
+        b = max_leaf_size
+        rel = split - start
+        snapped = ((rel + b // 2) // b) * b
+        if snapped <= 0:
+            snapped = b
+        if start + snapped >= end:
+            snapped = ((end - start - 1) // b) * b
+        if snapped <= 0:
+            snapped = b
+        split = start + snapped
+        if split >= end:
+            split = (start + end) // 2
         return split
 
     # Iterative preorder emission. Stack entries: (start, end, parent, is_right)

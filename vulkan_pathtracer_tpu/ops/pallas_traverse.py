@@ -297,12 +297,18 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
-def fits_vmem(scene, budget_bytes: int = 100 * 1024 * 1024) -> bool:
+def fits_vmem(scene, budget_bytes: int = None) -> bool:
     """Whether one octant's node rows (double-buffered) + the leaf
     table + ray state fit VMEM (v5e: 128MB total).  Mosaic tiles the
     8-wide lane dim up to 128, so a node row costs 512B and a leaf row
     512B regardless of logical width — ceiling ~90k nodes per octant
     (~140k triangles)."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024
+        ))
     if scene.bvh_packed is None or scene.tri_blocks is None:
         return False
     n_nodes = scene.bvh_packed.shape[0] // scene.bvh_orders
