@@ -128,7 +128,6 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                                 jnp.minimum(tb[c], tl)),
                 )
                 box_hit = tn <= tf
-                any_hit = jnp.logical_and(jnp.any(box_hit), live)
                 is_leaf = leaf_f >= 0.0
 
                 def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
@@ -171,13 +170,23 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                         v_best = jnp.where(hit, v, v_best)
                     return t_best, tri_best, u_best, v_best
 
-                do_leaf = jnp.logical_and(any_hit, is_leaf)
+                # Leaf visits never need the vector->scalar `any()`
+                # sync: their successor is always the skip pointer, and
+                # box_hit masks the MT updates on the vector side.
+                # Only internal nodes pay the reduction (to decide
+                # descend-vs-skip), halving the serial sync chain.
                 tb[c], trib[c], ub[c], vb[c] = jax.lax.cond(
-                    do_leaf, leaf_case, lambda a: a,
-                    (tb[c], trib[c], ub[c], vb[c]),
+                    jnp.logical_and(is_leaf, live), leaf_case,
+                    lambda a: a, (tb[c], trib[c], ub[c], vb[c]),
                 )
-                descend = jnp.logical_and(any_hit, jnp.logical_not(is_leaf))
-                nxt = jnp.where(descend, node + 1, skip_i)
+
+                def next_internal(box_hit=box_hit, node=node,
+                                  skip_i=skip_i):
+                    return jnp.where(jnp.any(box_hit), node + 1, skip_i)
+
+                nxt = jax.lax.cond(
+                    is_leaf, lambda skip_i=skip_i: skip_i, next_internal
+                )
                 new_nodes.append(jnp.where(live, nxt, node))
             return (tuple(new_nodes), tuple(tb), tuple(trib), tuple(ub),
                     tuple(vb))
