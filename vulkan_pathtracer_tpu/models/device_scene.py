@@ -120,6 +120,9 @@ class DeviceScene:
     # id) and one row per material (factors + texture table).
     tri_attr: Optional[jnp.ndarray] = None     # (T, 34) f32
     mat_packed: Optional[jnp.ndarray] = None   # (M, 8) uint32
+    # 8-wide BVH (ops/bvh_wide.py): per-octant slot tiles for the wide
+    # Pallas kernel.
+    bvh_wide_nodes: Optional[jnp.ndarray] = None  # (8*Nw, 8, 8) f32
 
     num_triangles: int = 0  # un-padded triangle count (static aux)
     bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
@@ -139,7 +142,7 @@ class DeviceScene:
         "bvh_leaf_count", "bvh_left", "bvh_right",
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
-        "tri_attr", "mat_packed",
+        "tri_attr", "mat_packed", "bvh_wide_nodes",
     )
 
     def tree_flatten(self):
@@ -239,7 +242,8 @@ def apply_slot_map(arr: np.ndarray, slot_map: np.ndarray) -> np.ndarray:
 
 def build_device_scene(scene: Scene, build_bvh: bool = True,
                        max_leaf_size: int = 4,
-                       octant_order: bool = True) -> DeviceScene:
+                       octant_order: bool = True,
+                       wide: bool = True) -> DeviceScene:
     """Bake a host Scene into device SoA arrays (and optionally a BVH)."""
     acc = {k: [] for k in (
         "tri_v0", "tri_e1", "tri_e2", "tri_gn", "tri_index", "tri_material",
@@ -467,4 +471,10 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         dev.tri_blocks = jnp.asarray(
             flat.reshape(n_blocks, max_leaf_size * 9)
         )
+
+        if octant_order and wide:
+            from vulkan_pathtracer_tpu.ops.bvh_wide import build_wide_bvh
+
+            wbvh = build_wide_bvh(bvh, block=max_leaf_size)
+            dev.bvh_wide_nodes = jnp.asarray(wbvh.nodes)
     return dev

@@ -326,3 +326,254 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
     tri_bytes = tri_rows * 512          # (L, 36) -> lane-padded
     state = 8 * PACKET * INTERLEAVE * 4 * 4 * 2
     return (2 * node_bytes + tri_bytes + state) < budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# 8-wide variant: slot-tile node tests with zero scalar box loads.
+# ---------------------------------------------------------------------------
+def _make_wide_kernel(n_wide: int, block: int, packet: int, tmin: float):
+    sub = packet // _LANE
+
+    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
+        del octant_ref
+
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE) for i in range(8)]
+        ox, oy, oz, dx, dy, dz, tl, _ = comps
+
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+
+        t0 = jnp.full((sub, _LANE), MISS_T)
+        tri0 = jnp.full((sub, _LANE), -1, jnp.int32)
+        zero = jnp.zeros((sub, _LANE), jnp.float32)
+
+        def cond(state):
+            return state[0] < n_wide
+
+        def body(state):
+            node, t_best, tri_best, u_best, v_best = state
+            nd = jnp.minimum(node, n_wide - 1)
+            tile = nodes_ref[0, nd]            # (8 slots, 8 fields)
+            bminx = tile[:, 0:1]
+            bminy = tile[:, 1:2]
+            bminz = tile[:, 2:3]
+            bmaxx = tile[:, 3:4]
+            bmaxy = tile[:, 4:5]
+            bmaxz = tile[:, 5:6]
+            leafcol = tile[:, 6:7]             # (8, 1)
+            # f32 mask (i1 broadcasts across sublanes don't lower).
+            internal_f = jnp.where(
+                leafcol == jnp.float32(-1.0), 1.0, 0.0
+            )
+            skip_i = nodes_ref[0, nd, 0, 7].astype(jnp.int32)
+
+            # Slab tests: slots on sublanes x 128-ray chunks on lanes.
+            hits = []
+            internal_acc = jnp.zeros((8, _LANE), dtype=jnp.float32)
+            for j in range(sub):
+                oxj = ox[j:j + 1, :]
+                oyj = oy[j:j + 1, :]
+                ozj = oz[j:j + 1, :]
+                ixj = ix[j:j + 1, :]
+                iyj = iy[j:j + 1, :]
+                izj = iz[j:j + 1, :]
+                t_lim_j = jnp.minimum(t_best[j:j + 1, :], tl[j:j + 1, :])
+                tx0 = (bminx - oxj) * ixj
+                tx1 = (bmaxx - oxj) * ixj
+                ty0 = (bminy - oyj) * iyj
+                ty1 = (bmaxy - oyj) * iyj
+                tz0 = (bminz - ozj) * izj
+                tz1 = (bmaxz - ozj) * izj
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_lim_j),
+                )
+                # Keep the hit matrix in f32: i1 vregs at (8,128) hit
+                # unsupported bitcasts when sliced/concatenated.
+                hit_j = jnp.where(tn <= tf, 1.0, 0.0)  # (8 slots, 128)
+                hits.append(hit_j)
+                internal_acc = jnp.maximum(internal_acc, hit_j * internal_f)
+
+            # Leaf slots: unrolled; each under a scalar branch on its
+            # leafword (one scalar load per slot).
+            def make_leaf(k):
+                def leaf_case(args):
+                    t_best, tri_best, u_best, v_best = args
+                    leaf_f = nodes_ref[0, nd, k, 6]
+                    leaf_i = leaf_f.astype(jnp.int32)
+                    row = leaf_i // block
+                    mask = jnp.concatenate(
+                        [hits[j][k:k + 1, :] for j in range(sub)], axis=0
+                    ) > 0.5                     # (sub, 128)
+                    for kk in range(block):
+                        base = kk * 9
+                        v0x = tris_ref[row, base + 0]
+                        v0y = tris_ref[row, base + 1]
+                        v0z = tris_ref[row, base + 2]
+                        e1x = tris_ref[row, base + 3]
+                        e1y = tris_ref[row, base + 4]
+                        e1z = tris_ref[row, base + 5]
+                        e2x = tris_ref[row, base + 6]
+                        e2y = tris_ref[row, base + 7]
+                        e2z = tris_ref[row, base + 8]
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        front = det > 0.0
+                        inv_det = 1.0 / jnp.where(front, det, 1.0)
+                        tx = ox - v0x
+                        ty = oy - v0y
+                        tz = oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        t_lim = jnp.minimum(t_best, tl)
+                        hit = (front & (u >= 0.0) & (v >= 0.0)
+                               & (u + v <= 1.0) & (t > tmin)
+                               & (t < t_lim) & mask)
+                        t_best = jnp.where(hit, t, t_best)
+                        tri_best = jnp.where(hit, leaf_i + kk, tri_best)
+                        u_best = jnp.where(hit, u, u_best)
+                        v_best = jnp.where(hit, v, v_best)
+                    return t_best, tri_best, u_best, v_best
+
+                return leaf_case
+
+            for k in range(8):
+                is_leaf_k = nodes_ref[0, nd, k, 6] >= 0.0
+                t_best, tri_best, u_best, v_best = jax.lax.cond(
+                    is_leaf_k, make_leaf(k), lambda a: a,
+                    (t_best, tri_best, u_best, v_best),
+                )
+
+            any_internal = jnp.max(internal_acc) > 0.0
+            nxt = jnp.where(any_internal, node + 1, skip_i)
+            return nxt, t_best, tri_best, u_best, v_best
+
+        node0 = jnp.int32(0)
+        _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
+            cond, body, (node0, t0, tri0, zero, zero)
+        )
+        out_ref[0, 0, 0, :] = t_best.reshape(-1)
+        out_ref[0, 0, 1, :] = jax.lax.bitcast_convert_type(
+            tri_best, jnp.float32).reshape(-1)
+        out_ref[0, 0, 2, :] = u_best.reshape(-1)
+        out_ref[0, 0, 3, :] = v_best.reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _packet_traverse_wide(wnodes, tris, rays, octants, *, interpret=False):
+    """wnodes: (8, Nw, 8, 8) f32 slot tiles; tris: (n_leaves, block*9);
+    rays: (G, 1, 8, PACKET) f32; octants: (G,) int32."""
+    _, n_wide, _, _ = wnodes.shape
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g = rays.shape[0]
+    packet = rays.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, n_wide, 8, 8),
+                         lambda i, octs: (octs[i], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, packet),
+                         lambda i, octs: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, packet),
+                               lambda i, octs: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = _make_wide_kernel(n_wide, block, packet, TMIN)
+    need = 2 * n_wide * 4096 + n_leaves * 512 + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(octants, wnodes, tris, rays)
+
+
+def pallas_wide_closest_hit(scene, origin, direction, active=None,
+                            interpret=False) -> Hit:
+    """Closest hit via the 8-wide packet kernel (scene.bvh_wide_*)."""
+    n = origin.shape[0]
+    n_wide = scene.bvh_wide_nodes.shape[0] // scene.bvh_orders
+
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.int32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.int32)
+    )
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+
+    pad = (-n) % PACKET
+    total = n + pad
+    n_groups = total // PACKET
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            jnp.zeros((total,), jnp.float32),
+        ],
+        axis=0,
+    ).reshape(8, n_groups, 1, PACKET).transpose(1, 2, 0, 3)
+
+    group_oct = jnp.pad(octant, (0, pad)).reshape(n_groups, PACKET)[:, 0]
+
+    wnodes = scene.bvh_wide_nodes.reshape(scene.bvh_orders, n_wide, 8, 8)
+    out = _packet_traverse_wide(wnodes, scene.tri_blocks, rays, group_oct,
+                                interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+    t = out[0]
+    tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return Hit(t=t, tri=tri, u=out[2], v=out[3])
+
+
+def wide_fits_vmem(scene, budget_bytes: int = None) -> bool:
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024
+        ))
+    if getattr(scene, "bvh_wide_nodes", None) is None:
+        return False
+    if scene.tri_blocks is None:
+        return False
+    n_wide = scene.bvh_wide_nodes.shape[0] // scene.bvh_orders
+    node_bytes = n_wide * 4096  # (8 slots, 8->128 lane-padded fields)
+    tri_bytes = scene.tri_blocks.shape[0] * 512
+    state = 8 * PACKET * 4 * 4 * 2
+    return (2 * node_bytes + tri_bytes + state) < budget_bytes

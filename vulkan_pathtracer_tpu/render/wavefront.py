@@ -59,16 +59,28 @@ F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 def _closest_hit(scene, origin, direction, active, traversal: str):
     if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
         return brute_force_closest_hit(scene, origin, direction, active)
-    if traversal in ("pallas", "auto"):
+    if traversal in ("pallas", "pallas8", "auto"):
         import jax
 
         from vulkan_pathtracer_tpu.ops.pallas_traverse import (
             fits_vmem,
             pallas_closest_hit,
+            pallas_wide_closest_hit,
+            wide_fits_vmem,
         )
 
         on_tpu = jax.default_backend() == "tpu"
-        if traversal == "pallas" or (on_tpu and fits_vmem(scene)):
+        wide_ok = getattr(scene, "bvh_wide_nodes", None) is not None
+        # pallas8 is opt-in only: measured ~2x slower than the binary
+        # packet kernel (per-visit vector work grows 8x while visits
+        # drop ~3x) — see ROADMAP.md.
+        if traversal == "pallas8" and wide_ok and wide_fits_vmem(scene):
+            return pallas_wide_closest_hit(
+                scene, origin, direction, active, interpret=not on_tpu
+            )
+        if traversal == "pallas" or (
+            traversal == "auto" and on_tpu and fits_vmem(scene)
+        ):
             return pallas_closest_hit(
                 scene, origin, direction, active, interpret=not on_tpu
             )
