@@ -8,7 +8,7 @@ No Sponza asset ships in this environment, so the stand-in is the
 procedural columns scene (assets/procedural.make_columns) sized to a
 comparable triangle count / BVH depth.  vs_baseline = value / 200.
 
-Env knobs: BENCH_WIDTH/HEIGHT/SPP/BOUNCES/FRAMES/GRID/SEGMENTS.
+Env knobs: BENCH_WIDTH/HEIGHT/SPP/BOUNCES/FRAMES/GRID/SEGMENTS/SCENE/LEAF.
 """
 
 from __future__ import annotations
