@@ -37,7 +37,7 @@ triangles (zero edges -> det == 0 -> never hit).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import jax

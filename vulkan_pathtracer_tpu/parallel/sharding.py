@@ -15,7 +15,6 @@ spp is large (time-to-converged-frame metric).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
