@@ -22,7 +22,8 @@ needs_native = pytest.mark.skipif(get_lib() is None,
 @needs_native
 def test_native_matches_numpy_builder():
     v0, e1, e2 = _random_tris(2000)
-    nat = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=True)
+    nat = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=True,
+                         builder="lbvh")
     ref = build_bvh_host(v0, e1, e2, max_leaf_size=4, use_native=False)
     assert nat.node_count == ref.node_count
     np.testing.assert_array_equal(nat.tri_order, ref.tri_order)
@@ -66,3 +67,36 @@ def test_native_build_speed():
     assert bvh.node_count > 0
     # Sanity: 200k tris should build well under 5s natively.
     assert native_t < 5.0, native_t
+
+
+@needs_native
+def test_sah_builder_invariants():
+    v0, e1, e2 = _random_tris(30000, seed=21)
+    bvh = build_bvh_host(v0, e1, e2, max_leaf_size=8, use_native=True,
+                         builder="sah")
+    validate_bvh(bvh, v0[bvh.tri_order], e1[bvh.tri_order],
+                 e2[bvh.tri_order])
+    assert (bvh.leaf_count[bvh.leaf_first >= 0] <= 8).all()
+
+
+@needs_native
+def test_sah_traversal_matches_brute(columns_glb):
+    import jax.numpy as jnp
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+    from vulkan_pathtracer_tpu.ops.intersect import brute_force_closest_hit
+    from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+
+    scene = gltf.load(columns_glb)
+    dev = build_device_scene(scene, build_bvh=True)  # default = SAH
+    rng = np.random.default_rng(31)
+    n = 400
+    o = jnp.asarray(rng.uniform(-10, 10, size=(n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    brute = brute_force_closest_hit(dev, o, d)
+    trav = bvh_closest_hit(dev, o, d)
+    np.testing.assert_allclose(np.asarray(trav.t), np.asarray(brute.t),
+                               rtol=1e-5, atol=1e-5)

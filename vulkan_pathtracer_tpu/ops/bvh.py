@@ -73,11 +73,20 @@ def _morton_codes(centroids: np.ndarray) -> np.ndarray:
 
 
 def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
-                   max_leaf_size: int = 4, use_native: bool = True) -> HostBVH:
+                   max_leaf_size: int = 4, use_native: bool = True,
+                   builder: str = "sah") -> HostBVH:
+    """builder: "sah" (binned SAH, native only — better trees) or
+    "lbvh" (Morton). Falls back sah -> native lbvh -> NumPy lbvh."""
     if use_native and tri_v0.shape[0] > 0:
         from vulkan_pathtracer_tpu.ops.native import lbvh_build_native
 
-        result = lbvh_build_native(tri_v0, tri_e1, tri_e2, max_leaf_size)
+        result = None
+        if builder == "sah":
+            result = lbvh_build_native(tri_v0, tri_e1, tri_e2,
+                                       max_leaf_size, builder="sah")
+        if result is None:
+            result = lbvh_build_native(tri_v0, tri_e1, tri_e2,
+                                       max_leaf_size)
         if result is not None:
             (bmin, bmax, skip, leaf_first, leaf_count, left, right,
              tri_order) = result

@@ -62,6 +62,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int,
         _f32p, _f32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i64p,
     ]
+    try:
+        lib.sah_build.restype = ctypes.c_int64
+        lib.sah_build.argtypes = lib.lbvh_build.argtypes
+    except AttributeError:
+        pass
     lib.bake_triangles.restype = None
     lib.bake_triangles.argtypes = [
         _f32p, ctypes.c_int64, _u32p, ctypes.c_int64,
@@ -82,12 +87,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def lbvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
-                      tri_e2: np.ndarray, max_leaf_size: int):
+                      tri_e2: np.ndarray, max_leaf_size: int,
+                      builder: str = "lbvh"):
     """Returns the same tuple layout ops.bvh.HostBVH uses, or None if
-    the native library is unavailable."""
+    the native library is unavailable.  builder: "lbvh" (Morton) or
+    "sah" (binned SAH — better trees, slower builds)."""
     lib = get_lib()
     if lib is None:
         return None
+    build_fn = lib.lbvh_build
+    if builder == "sah":
+        build_fn = getattr(lib, "sah_build", None)
+        if build_fn is None:
+            return None
     n = tri_v0.shape[0]
     cap = max(2 * n, 1)
     bmin = np.empty((cap, 3), np.float32)
@@ -98,7 +110,7 @@ def lbvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
     left = np.empty(cap, np.int32)
     right = np.empty(cap, np.int32)
     tri_order = np.empty(n, np.int64)
-    count = lib.lbvh_build(
+    count = build_fn(
         np.ascontiguousarray(tri_v0, np.float32),
         np.ascontiguousarray(tri_e1, np.float32),
         np.ascontiguousarray(tri_e2, np.float32),
