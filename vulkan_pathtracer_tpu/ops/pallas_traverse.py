@@ -54,8 +54,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
 
-PACKET = 1024    # rays per packet (multiple of 128)
-INTERLEAVE = 2   # packets per kernel body (C)
+PACKET = 2048   # rays per packet (multiple of 128)
+INTERLEAVE = 1  # packets per kernel body (C): measured flat in C on
+# uncontended runs (8.8-9.1 Mrays/s for C in {1,2,4}); keep the
+# simplest kernel
 _LANE = 128
 
 
