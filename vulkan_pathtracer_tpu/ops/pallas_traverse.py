@@ -321,6 +321,11 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
         ))
     if scene.bvh_packed is None or scene.tri_blocks is None:
         return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        # Scalar reads need static lane indices within one 128-lane
+        # tile: leaf rows wider than 128 floats (max_leaf_size > 14)
+        # cannot run on the Pallas path.
+        return False
     n_nodes = scene.bvh_packed.shape[0] // scene.bvh_orders
     node_bytes = n_nodes * 512          # (Nn, 8) -> (8,128)-tile padded
     tri_rows = scene.tri_blocks.shape[0]
