@@ -78,6 +78,46 @@ def moller_trumbore(origin, direction, v0, e1, e2, tmin, t_limit):
     return hit, t, u, v
 
 
+def leaf_seed_hit(scene, origin, direction, block_idx, active=None,
+                  tmin=TMIN, tmax=TMAX) -> Hit:
+    """Cheap local pre-pass: intersect each ray against ONE leaf block
+    (typically the block its origin surface belongs to).  The result
+    seeds t_best for the full traversal — a tight initial bound that
+    lets the BVH prune everything farther than local geometry.  The
+    seed is itself a valid hit, so traversal results are unchanged.
+
+    block_idx: (N,) int32 leaf-block row ids (clamped); scene needs
+    tri_blocks.
+    """
+    n = origin.shape[0]
+    block = scene.max_leaf_size
+    n_blocks = scene.tri_blocks.shape[0]
+    rows = jnp.take(
+        scene.tri_blocks,
+        jnp.clip(block_idx, 0, n_blocks - 1),
+        axis=0,
+    )  # (N, block*9)
+    t_best = jnp.full((n,), MISS_T, dtype=jnp.float32)
+    tri_best = jnp.full((n,), -1, dtype=jnp.int32)
+    u_best = jnp.zeros((n,), dtype=jnp.float32)
+    v_best = jnp.zeros((n,), dtype=jnp.float32)
+    base = jnp.clip(block_idx, 0, n_blocks - 1) * block
+    for k in range(block):
+        tri9 = rows[:, k * 9:(k + 1) * 9]
+        t_lim = jnp.minimum(t_best, jnp.float32(tmax))
+        hit, t, u, v = moller_trumbore(
+            origin, direction,
+            tri9[:, 0:3], tri9[:, 3:6], tri9[:, 6:9], tmin, t_lim,
+        )
+        if active is not None:
+            hit = hit & active
+        t_best = jnp.where(hit, t, t_best)
+        tri_best = jnp.where(hit, (base + k).astype(jnp.int32), tri_best)
+        u_best = jnp.where(hit, u, u_best)
+        v_best = jnp.where(hit, v, v_best)
+    return Hit(t=t_best, tri=tri_best, u=u_best, v=v_best)
+
+
 def brute_force_closest_hit(scene, origin, direction, active=None,
                             tmin=TMIN, tmax=TMAX, chunk: int = 256) -> Hit:
     """O(rays x tris) closest hit, chunked over triangles to bound the

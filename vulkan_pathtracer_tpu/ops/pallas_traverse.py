@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -71,7 +72,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
         comps = []
         for c in range(C):
             comps.append(
-                [rays_ref[0, c, i, :].reshape(sub, _LANE) for i in range(8)]
+                [rays_ref[0, c, i, :].reshape(sub, _LANE) for i in range(12)]
             )
 
         eps = jnp.float32(1e-20)
@@ -83,9 +84,13 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
         inv = [[sinv(comps[c][3]), sinv(comps[c][4]), sinv(comps[c][5])]
                for c in range(C)]
 
-        t0 = jnp.full((sub, _LANE), MISS_T)
-        tri0 = jnp.full((sub, _LANE), -1, jnp.int32)
-        zero = jnp.zeros((sub, _LANE), jnp.float32)
+        # Seeded initial state (channels 7-10: t, bitcast tri, u, v) —
+        # a valid prior hit tightens t_best from the first visit.
+        t0s = [comps[c][7] for c in range(C)]
+        tri0s = [jax.lax.bitcast_convert_type(comps[c][8], jnp.int32)
+                 for c in range(C)]
+        u0s = [comps[c][9] for c in range(C)]
+        v0s = [comps[c][10] for c in range(C)]
 
         def cond(state):
             nodes = state[0]
@@ -109,7 +114,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 skip_i = nodes_ref[0, nd, 6].astype(jnp.int32)
                 leaf_f = nodes_ref[0, nd, 7]
                 leaf_i = leaf_f.astype(jnp.int32)
-                ox, oy, oz, dx, dy, dz, tl, _ = comps[c]
+                ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
                 ix, iy, iz = inv[c]
                 tx0 = (b[0] - ox) * ix
                 tx1 = (b[3] - ox) * ix
@@ -133,7 +138,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
 
                 def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
                     t_best, tri_best, u_best, v_best = args
-                    ox, oy, oz, dx, dy, dz, tl, _ = comps[c]
+                    ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
                     row = leaf_i // block
                     for k in range(block):
                         base = k * 9
@@ -193,10 +198,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                     tuple(vb))
 
         init = (tuple(jnp.int32(0) for _ in range(C)),
-                tuple(t0 for _ in range(C)),
-                tuple(tri0 for _ in range(C)),
-                tuple(zero for _ in range(C)),
-                tuple(zero for _ in range(C)))
+                tuple(t0s), tuple(tri0s), tuple(u0s), tuple(v0s))
         _, tb, trib, ub, vb = jax.lax.while_loop(cond, body, init)
         for c in range(C):
             out_ref[0, c, 0, :] = tb[c].reshape(-1)
@@ -212,7 +214,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
     """nodes8: (8, Nn, 8) f32 (bmin|bmax|skip|leaf as float values);
-    tris: (n_leaves, block*9) f32; rays: (G, C, 8, PACKET) f32;
+    tris: (n_leaves, block*9) f32; rays: (G, C, 12, PACKET) f32;
     octants: (G,) int32.  Returns (G, C, 4, PACKET) f32."""
     _, n_nodes, _ = nodes8.shape
     n_leaves, row_w = tris.shape
@@ -227,7 +229,7 @@ def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 8, packet),
+            pl.BlockSpec((1, C, 12, packet),
                          lambda i, octs: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -249,17 +251,37 @@ def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
     )(octants, nodes8, tris, rays)
 
 
+def _seed_channels(n, seed):
+    """Channels 7-10 of the ray block: (t, bitcast tri, u, v)."""
+    if seed is None:
+        return (
+            jnp.full((n,), MISS_T),
+            jax.lax.bitcast_convert_type(
+                jnp.full((n,), -1, jnp.int32), jnp.float32
+            ),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+        )
+    return (
+        seed.t,
+        jax.lax.bitcast_convert_type(seed.tri, jnp.float32),
+        seed.u,
+        seed.v,
+    )
+
+
 def pallas_closest_hit(scene, origin, direction, active=None,
-                       interpret=False) -> Hit:
+                       interpret=False, seed=None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
     lanes get per-lane tmax = -1 so they never hit (and never extend
-    traversal).
+    traversal).  ``seed`` (optional Hit) pre-loads t/tri/u/v — a valid
+    prior hit (e.g. from ops.intersect.leaf_seed_hit) that tightens
+    t_best from the first node visit without changing results.
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
-    block = scene.max_leaf_size
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -278,16 +300,23 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     def pad1(x, fill=0.0):
         return jnp.pad(x, (0, pad), constant_values=fill)
 
+    st, strif, su, sv = _seed_channels(n, seed)
+    miss_bits = float(
+        np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0]
+    )
     rays = jnp.stack(
         [
             pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
             pad1(direction[:, 0]), pad1(direction[:, 1]),
             pad1(direction[:, 2]),
             pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, miss_bits),
+            pad1(su), pad1(sv),
             jnp.zeros((total,), jnp.float32),
         ],
         axis=0,
-    ).reshape(8, n_groups, INTERLEAVE, PACKET).transpose(1, 2, 0, 3)
+    ).reshape(12, n_groups, INTERLEAVE, PACKET).transpose(1, 2, 0, 3)
 
     oct_padded = jnp.pad(octant, (0, pad))
     group_oct = oct_padded.reshape(n_groups, group)[:, 0]
@@ -343,8 +372,8 @@ def _make_wide_kernel(n_wide: int, block: int, packet: int, tmin: float):
     def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
         del octant_ref
 
-        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE) for i in range(8)]
-        ox, oy, oz, dx, dy, dz, tl, _ = comps
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE) for i in range(12)]
+        ox, oy, oz, dx, dy, dz, tl = comps[:7]
 
         eps = jnp.float32(1e-20)
 
@@ -354,9 +383,10 @@ def _make_wide_kernel(n_wide: int, block: int, packet: int, tmin: float):
 
         ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
 
-        t0 = jnp.full((sub, _LANE), MISS_T)
-        tri0 = jnp.full((sub, _LANE), -1, jnp.int32)
-        zero = jnp.zeros((sub, _LANE), jnp.float32)
+        t0 = comps[7]
+        tri0 = jax.lax.bitcast_convert_type(comps[8], jnp.int32)
+        zero_u = comps[9]
+        zero_v = comps[10]
 
         def cond(state):
             return state[0] < n_wide
@@ -473,7 +503,7 @@ def _make_wide_kernel(n_wide: int, block: int, packet: int, tmin: float):
 
         node0 = jnp.int32(0)
         _, t_best, tri_best, u_best, v_best = jax.lax.while_loop(
-            cond, body, (node0, t0, tri0, zero, zero)
+            cond, body, (node0, t0, tri0, zero_u, zero_v)
         )
         out_ref[0, 0, 0, :] = t_best.reshape(-1)
         out_ref[0, 0, 1, :] = jax.lax.bitcast_convert_type(
@@ -487,7 +517,7 @@ def _make_wide_kernel(n_wide: int, block: int, packet: int, tmin: float):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _packet_traverse_wide(wnodes, tris, rays, octants, *, interpret=False):
     """wnodes: (8, Nw, 8, 8) f32 slot tiles; tris: (n_leaves, block*9);
-    rays: (G, 1, 8, PACKET) f32; octants: (G,) int32."""
+    rays: (G, 1, 12, PACKET) f32; octants: (G,) int32."""
     _, n_wide, _, _ = wnodes.shape
     n_leaves, row_w = tris.shape
     block = row_w // 9
@@ -503,7 +533,7 @@ def _packet_traverse_wide(wnodes, tris, rays, octants, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, packet),
+            pl.BlockSpec((1, 1, 12, packet),
                          lambda i, octs: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -524,7 +554,7 @@ def _packet_traverse_wide(wnodes, tris, rays, octants, *, interpret=False):
 
 
 def pallas_wide_closest_hit(scene, origin, direction, active=None,
-                            interpret=False) -> Hit:
+                            interpret=False, seed=None) -> Hit:
     """Closest hit via the 8-wide packet kernel (scene.bvh_wide_*)."""
     n = origin.shape[0]
     n_wide = scene.bvh_wide_nodes.shape[0] // scene.bvh_orders
@@ -545,16 +575,22 @@ def pallas_wide_closest_hit(scene, origin, direction, active=None,
     def pad1(x, fill=0.0):
         return jnp.pad(x, (0, pad), constant_values=fill)
 
+    st, strif, su, sv = _seed_channels(n, seed)
     rays = jnp.stack(
         [
             pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
             pad1(direction[:, 0]), pad1(direction[:, 1]),
             pad1(direction[:, 2]),
             pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, float(
+                np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0]
+            )),
+            pad1(su), pad1(sv),
             jnp.zeros((total,), jnp.float32),
         ],
         axis=0,
-    ).reshape(8, n_groups, 1, PACKET).transpose(1, 2, 0, 3)
+    ).reshape(12, n_groups, 1, PACKET).transpose(1, 2, 0, 3)
 
     group_oct = jnp.pad(octant, (0, pad)).reshape(n_groups, PACKET)[:, 0]
 

@@ -46,11 +46,13 @@ def _safe_inv(d):
 
 
 def bvh_closest_hit(scene, origin, direction, active=None,
-                    tmin=TMIN, tmax=TMAX) -> Hit:
+                    tmin=TMIN, tmax=TMAX, seed=None) -> Hit:
     """Closest-hit query for a batch of rays against scene's BVH.
 
     scene: DeviceScene with bvh_* arrays present.
     origin, direction: (N, 3) f32. active: optional (N,) bool.
+    seed: optional prior Hit that pre-tightens t_best (results
+    unchanged — the seed is itself a valid hit).
     """
     max_leaf_size = scene.max_leaf_size
     n = origin.shape[0]
@@ -75,10 +77,16 @@ def bvh_closest_hit(scene, origin, direction, active=None,
     if active is not None:
         node0 = jnp.where(active, node0, done_sentinel)
 
-    t0 = jnp.full((n,), MISS_T, dtype=jnp.float32)
-    tri0 = jnp.full((n,), -1, dtype=jnp.int32)
-    u0 = jnp.zeros((n,), dtype=jnp.float32)
-    v0_ = jnp.zeros((n,), dtype=jnp.float32)
+    if seed is not None:
+        t0 = seed.t
+        tri0 = seed.tri
+        u0 = seed.u
+        v0_ = seed.v
+    else:
+        t0 = jnp.full((n,), MISS_T, dtype=jnp.float32)
+        tri0 = jnp.full((n,), -1, dtype=jnp.int32)
+        u0 = jnp.zeros((n,), dtype=jnp.float32)
+        v0_ = jnp.zeros((n,), dtype=jnp.float32)
 
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]

@@ -96,7 +96,8 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 traversal: str = "auto", russian_roulette: bool = False,
                 rr_start_bounce: int = 2,
                 ray_chunk: int = DEFAULT_RAY_CHUNK,
-                sort_secondary: bool = False):
+                sort_secondary: bool = False,
+                seed_secondary: bool = False):
     """Render image rows [y_offset, y_offset+rows): the shared core of
     the single-chip frame and the per-device tile under shard_map.
 
@@ -127,6 +128,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 russian_roulette=russian_roulette,
                 rr_start_bounce=rr_start_bounce,
                 sort_secondary=sort_secondary,
+                seed_secondary=seed_secondary,
             )
             return (sx, sy, acc + color, rays + traced), None
 
@@ -168,7 +170,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     static_argnames=(
         "num_samples", "num_bounces", "width", "height", "traversal",
         "russian_roulette", "rr_start_bounce", "ray_chunk",
-        "sort_secondary",
+        "sort_secondary", "seed_secondary",
     ),
 )
 def render_frame(scene: DeviceScene, position, horizontal, vertical,
@@ -176,7 +178,8 @@ def render_frame(scene: DeviceScene, position, horizontal, vertical,
                  width: int, height: int, traversal: str = "auto",
                  russian_roulette: bool = False, rr_start_bounce: int = 2,
                  ray_chunk: int = DEFAULT_RAY_CHUNK,
-                 sort_secondary: bool = False):
+                 sort_secondary: bool = False,
+                 seed_secondary: bool = False):
     """One full frame: (H, W, 3) f32 linear radiance + rays traced."""
     return render_rows(
         scene, position, horizontal, vertical, forward, frame,
@@ -184,6 +187,7 @@ def render_frame(scene: DeviceScene, position, horizontal, vertical,
         width=width, height=height, traversal=traversal,
         russian_roulette=russian_roulette, rr_start_bounce=rr_start_bounce,
         ray_chunk=ray_chunk, sort_secondary=sort_secondary,
+        seed_secondary=seed_secondary,
     )
 
 
@@ -220,6 +224,7 @@ class RenderPipeline:
             rr_start_bounce=self.config.rr_start_bounce,
             ray_chunk=self.config.ray_chunk,
             sort_secondary=self.config.wavefront_compaction,
+            seed_secondary=self.config.seed_secondary,
         )
         return image, rays
 

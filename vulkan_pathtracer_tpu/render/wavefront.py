@@ -56,7 +56,8 @@ ROUGHNESS_FLOOR = 0.006     # ray_gen.rgen:84
 F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 
 
-def _closest_hit(scene, origin, direction, active, traversal: str):
+def _closest_hit(scene, origin, direction, active, traversal: str,
+                 seed=None):
     if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
         return brute_force_closest_hit(scene, origin, direction, active)
     if traversal in ("pallas", "pallas8", "auto"):
@@ -76,15 +77,17 @@ def _closest_hit(scene, origin, direction, active, traversal: str):
         # drop ~3x) — see ROADMAP.md.
         if traversal == "pallas8" and wide_ok and wide_fits_vmem(scene):
             return pallas_wide_closest_hit(
-                scene, origin, direction, active, interpret=not on_tpu
+                scene, origin, direction, active, interpret=not on_tpu,
+                seed=seed,
             )
         if traversal == "pallas" or (
             traversal == "auto" and on_tpu and fits_vmem(scene)
         ):
             return pallas_closest_hit(
-                scene, origin, direction, active, interpret=not on_tpu
+                scene, origin, direction, active, interpret=not on_tpu,
+                seed=seed,
             )
-    return bvh_closest_hit(scene, origin, direction, active)
+    return bvh_closest_hit(scene, origin, direction, active, seed=seed)
 
 
 def _interleave10(v):
@@ -96,7 +99,8 @@ def _interleave10(v):
     return v
 
 
-def _closest_hit_sorted(scene, origin, direction, active, traversal: str):
+def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
+                        seed=None):
     """Sort rays by (direction octant, origin Morton) before traversal
     so packets stay coherent (2-3x on bounce rays under the Pallas
     packet kernel; dead rays cluster at the end and their packets
@@ -127,12 +131,16 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str):
         key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
     inv = jnp.argsort(order)
+    if seed is not None:
+        seed = type(seed)(t=seed.t[order], tri=seed.tri[order],
+                          u=seed.u[order], v=seed.v[order])
     hit = _closest_hit(
         scene,
         origin[order],
         direction[order],
         None if active is None else active[order],
         traversal,
+        seed=seed,
     )
     return type(hit)(
         t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv], v=hit.v[inv]
@@ -150,7 +158,8 @@ def sky_color(direction):
 def trace_sample(scene, origin, direction, seed_x, seed_y, *,
                  num_bounces: int, traversal: str = "auto",
                  russian_roulette: bool = False, rr_start_bounce: int = 2,
-                 sort_secondary: bool = False):
+                 sort_secondary: bool = False,
+                 seed_secondary: bool = False):
     """Trace one sample for all rays.
 
     Returns (color (N,3), new_seed_x, new_seed_y, rays_traced_f32).
@@ -161,13 +170,30 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
     alive = jnp.ones((n,), dtype=bool)
     rays_traced = jnp.float32(0.0)
 
+    prev_hit = None
     for j in range(num_bounces):
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+        seed = None
+        if (seed_secondary and j > 0 and prev_hit is not None
+                and getattr(scene, "tri_blocks", None) is not None):
+            # Seed t_best with a hit in the previous bounce's leaf
+            # block: in INTERIOR scenes bounce rays usually strike
+            # nearby geometry, and a tight initial bound lets traversal
+            # prune most of the tree (the seed is a valid hit, so
+            # results are unchanged). In open scenes the pre-pass is
+            # overhead — hence opt-in (config.seed_secondary).
+            from vulkan_pathtracer_tpu.ops.intersect import leaf_seed_hit
+
+            prev_block = jnp.maximum(prev_hit.tri, 0) // scene.max_leaf_size
+            seed = leaf_seed_hit(scene, origin, direction, prev_block,
+                                 active=alive)
         if sort_secondary and j > 0:
             hit = _closest_hit_sorted(scene, origin, direction, alive,
-                                      traversal)
+                                      traversal, seed=seed)
         else:
-            hit = _closest_hit(scene, origin, direction, alive, traversal)
+            hit = _closest_hit(scene, origin, direction, alive, traversal,
+                               seed=seed)
+        prev_hit = hit
         missed = alive & (hit.t >= MISS_T)
         did_hit = alive & ~missed
 

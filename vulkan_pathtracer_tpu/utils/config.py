@@ -34,6 +34,10 @@ class RenderConfig:
     # Sort bounce rays by (octant, origin Morton) before traversal —
     # pure scheduling, per-ray results unchanged; 2-3x on bounces.
     wavefront_compaction: bool = True
+    # Seed bounce-ray t_best with a hit from the previous bounce's
+    # leaf block (valid-hit pre-pass; results unchanged). Wins in
+    # interior scenes, loses slightly in open scenes — opt in.
+    seed_secondary: bool = False
     ray_chunk: int = 1 << 17        # rays per dispatch chunk (0 = off)
     dtype: str = "float32"
 
@@ -63,4 +67,5 @@ class RenderConfig:
             self.traversal,
             self.wavefront_compaction,
             self.ray_chunk,
+            self.seed_secondary,
         )
