@@ -28,9 +28,10 @@ dim, static field index on the lane dim — which the (8,128) tiling
 pads to 512B/node.  skip/leaf live in the same row as FLOAT-VALUED
 ints (exact below 2^24) so no second table is staged.  The leaf table
 is (n_leaves, block*9) with the same padding.  fits_vmem() accounts
-for the padded sizes; scenes beyond the budget (~20k triangles at
-block=4) fall back to the XLA path.  Roadmap: HBM-streamed leaf
-tables + wide nodes lift the ceiling.
+for the padded sizes against the raised scoped-VMEM limit (v5e has
+128MB; the 16MB default is overridden per kernel) — ceiling ~90k
+nodes per octant (~300k triangles with 8-wide leaf blocks); beyond
+that the XLA path takes over.  Roadmap: HBM-streamed leaf tables.
 
 Ordering only affects *efficiency*, never results: a packet whose rays
 straddle octants still intersects everything (each lane keeps its own
