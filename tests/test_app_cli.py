@@ -57,3 +57,16 @@ def test_main_divider_output_size(box_glb, tmp_path):
     assert rc == 0
     img = read_png(out)
     assert img.shape == (32, 32, 3)  # presented at full size
+
+
+def test_batched_progressive_matches_per_frame(box_glb, tmp_path):
+    """--batch-frames renders identical accumulation to per-frame."""
+    out_a = str(tmp_path / "a.png")
+    out_b = str(tmp_path / "b.png")
+    base = ["-s", box_glb, "-x", "16", "-y", "16", "--progressive",
+            "--frames", "4"]
+    assert main(base + ["-o", out_a]) == 0
+    assert main(base + ["-o", out_b, "--batch-frames", "4"]) == 0
+    a = read_png(out_a).astype(int)
+    b = read_png(out_b).astype(int)
+    assert np.abs(a - b).max() <= 1  # f32 sum-order 1-ulp -> <=1 level

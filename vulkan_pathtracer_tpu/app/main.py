@@ -128,6 +128,30 @@ def main(argv=None) -> int:
         profile_ctx.__enter__()
         print(f"profiling to {args.profile}", file=sys.stderr)
 
+    if (config.progressive and args.batch_frames > 1
+            and not args.camera_path and args.devices <= 1):
+        # Static-camera progressive: render batches of frames per
+        # dispatch (the frame counter is only an RNG seed).
+        frame = start_frame
+        while frame < args.frames:
+            b = min(args.batch_frames, args.frames - frame)
+            sum_img, rays = pipeline.render_batch_sum(camera, frame, b)
+            acc.add_frames_sum(np.asarray(sum_img), b)
+            frame += b
+            if args.checkpoint and args.checkpoint_interval:
+                acc.save(args.checkpoint)
+            dt = timer.lap()
+            stats.lap(dt, timer.one_second_elapsed,
+                      rays_this_frame=int(float(rays)))
+            if timer.one_second_elapsed:
+                stats.log()
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+        _present(acc.mean, config, args.output)
+        print(f"wrote {args.output} ({acc.spp} spp)", file=sys.stderr)
+        stats.log()
+        return 0
+
     image = None
     for frame in range(start_frame, args.frames):
         if path is not None:

@@ -47,6 +47,13 @@ class Accumulator:
         self.spp += self.spp_per_frame
         self.frame += 1
 
+    def add_frames_sum(self, sum_image: np.ndarray, n_frames: int) -> None:
+        """Add a device-side batch: the SUM of n_frames per-frame means
+        (render_frames_batch output)."""
+        self.sum += np.asarray(sum_image, dtype=np.float64) * self.spp_per_frame
+        self.spp += self.spp_per_frame * n_frames
+        self.frame += n_frames
+
     @property
     def mean(self) -> np.ndarray:
         if self.spp == 0:

@@ -191,6 +191,56 @@ def render_frame(scene: DeviceScene, position, horizontal, vertical,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "num_bounces", "width", "height", "traversal",
+        "russian_roulette", "rr_start_bounce", "ray_chunk",
+        "sort_secondary", "seed_secondary", "batch",
+    ),
+)
+def render_frames_batch(scene: DeviceScene, position, horizontal, vertical,
+                        forward, frame0, *, batch: int, num_samples: int,
+                        num_bounces: int, width: int, height: int,
+                        traversal: str = "auto",
+                        russian_roulette: bool = False,
+                        rr_start_bounce: int = 2,
+                        ray_chunk: int = DEFAULT_RAY_CHUNK,
+                        sort_secondary: bool = False,
+                        seed_secondary: bool = False):
+    """Progressive batch: render ``batch`` consecutive frames (frame0,
+    frame0+1, ...) in ONE dispatch and return their radiance SUM.
+
+    Each host->device dispatch through the remote runtime costs tens of
+    milliseconds — at small resolutions that dwarfs the render itself.
+    Progressive accumulation (frame_count is only an RNG seed,
+    ray_gen.rgen:41) needs no host work between frames, so a
+    device-side lax.scan amortizes the dispatch entirely.
+    Returns (sum_image (H, W, 3), rays_total).
+    """
+    def body(carry, k):
+        acc, rays = carry
+        image, traced = render_rows(
+            scene, position, horizontal, vertical, forward,
+            frame0 + k.astype(jnp.uint32),
+            num_samples=num_samples, num_bounces=num_bounces,
+            width=width, height=height, traversal=traversal,
+            russian_roulette=russian_roulette,
+            rr_start_bounce=rr_start_bounce, ray_chunk=ray_chunk,
+            sort_secondary=sort_secondary, seed_secondary=seed_secondary,
+        )
+        return (acc + image, rays + traced), None
+
+    init = (
+        jnp.zeros((height, width, 3), dtype=jnp.float32),
+        jnp.float32(0.0),
+    )
+    (acc, rays), _ = jax.lax.scan(
+        body, init, jnp.arange(batch, dtype=jnp.uint32)
+    )
+    return acc, rays
+
+
 class RenderPipeline:
     """Holds the scene + config and renders frames (the analog of
     RaytracingPass + RayTracingPipeline)."""
@@ -231,6 +281,28 @@ class RenderPipeline:
     def render_numpy(self, camera: Camera, frame: int):
         image, rays = self.render(camera, frame)
         return np.asarray(image), float(rays)
+
+    def render_batch_sum(self, camera: Camera, frame0: int, batch: int):
+        """Sum of `batch` consecutive progressive frames in one
+        dispatch (see render_frames_batch)."""
+        position, horizontal, vertical, forward = (
+            jnp.asarray(v) for v in camera.push_constants()
+        )
+        return render_frames_batch(
+            self.scene, position, horizontal, vertical, forward,
+            jnp.uint32(frame0),
+            batch=batch,
+            num_samples=self.config.num_samples,
+            num_bounces=self.config.num_bounces,
+            width=self.width,
+            height=self.height,
+            traversal=self._traversal,
+            russian_roulette=self.config.russian_roulette,
+            rr_start_bounce=self.config.rr_start_bounce,
+            ray_chunk=self.config.ray_chunk,
+            sort_secondary=self.config.wavefront_compaction,
+            seed_secondary=self.config.seed_secondary,
+        )
 
     def resize(self, width: int, height: int) -> "RenderPipeline":
         """Resolution change — the RaytracingPass.resize analog

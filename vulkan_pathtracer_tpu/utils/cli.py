@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-device sharding strategy for --devices > 1")
     p.add_argument("--save-every", type=int, default=0,
                    help="write the PNG every N frames (progressive preview)")
+    p.add_argument("--batch-frames", type=int, default=1,
+                   help="progressive frames per device dispatch (static "
+                        "camera only; amortizes dispatch overhead)")
     return p
 
 
