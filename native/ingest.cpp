@@ -77,9 +77,15 @@ extern "C" void bake_triangles(const float* positions, int64_t n_verts,
         mat3_mul(A, p1, w1);
         mat3_mul(A, p2, w2);
         for (int k = 0; k < 3; ++k) {
-            out_v0[i * 3 + k] = static_cast<float>(w0[k] + t[k]);
-            out_e1[i * 3 + k] = static_cast<float>(w1[k] - w0[k]);
-            out_e2[i * 3 + k] = static_cast<float>(w2[k] - w0[k]);
+            // Round each world position to f32 BEFORE the edge
+            // subtraction — bit-identical to the NumPy bake
+            // (device_scene.py casts pos_w to float32, then subtracts).
+            float f0 = static_cast<float>(w0[k] + t[k]);
+            float f1 = static_cast<float>(w1[k] + t[k]);
+            float f2 = static_cast<float>(w2[k] + t[k]);
+            out_v0[i * 3 + k] = f0;
+            out_e1[i * 3 + k] = f1 - f0;
+            out_e2[i * 3 + k] = f2 - f0;
         }
         // Geometric normal: object-space edge cross then inverse(A)
         // (the reference's row-vector transform quirk,
@@ -91,10 +97,12 @@ extern "C" void bake_triangles(const float* positions, int64_t n_verts,
                        e1o[0] * e2o[1] - e1o[1] * e2o[0]};
         double g[3];
         mat3_mul(N, c, g);
+        // Divide (not multiply-by-reciprocal) by max(len, 1e-30),
+        // matching device_scene.py's NumPy rounding exactly.
         double len = std::sqrt(g[0] * g[0] + g[1] * g[1] + g[2] * g[2]);
-        double inv = len > 1e-30 ? 1.0 / len : 0.0;
-        out_gn[i * 3 + 0] = static_cast<float>(g[0] * inv);
-        out_gn[i * 3 + 1] = static_cast<float>(g[1] * inv);
-        out_gn[i * 3 + 2] = static_cast<float>(g[2] * inv);
+        if (len < 1e-30) len = 1e-30;
+        out_gn[i * 3 + 0] = static_cast<float>(g[0] / len);
+        out_gn[i * 3 + 1] = static_cast<float>(g[1] / len);
+        out_gn[i * 3 + 2] = static_cast<float>(g[2] / len);
     }
 }

@@ -82,12 +82,9 @@ def test_graft_entry_dryrun():
 
 def test_graft_entry_single():
     import __graft_entry__ as ge
-    import jax
 
     fn, args = ge.entry()
-    image, rays = jax.jit(
-        fn, static_argnames=()
-    )(*args) if False else fn(*args)
+    image, rays = fn(*args)
     image = np.asarray(image)
     assert image.shape == (64, 64, 3)
     assert np.isfinite(image).all()

@@ -100,3 +100,51 @@ def test_sah_traversal_matches_brute(columns_glb):
     trav = bvh_closest_hit(dev, o, d)
     np.testing.assert_allclose(np.asarray(trav.t), np.asarray(brute.t),
                                rtol=1e-5, atol=1e-5)
+
+
+@needs_native
+def test_native_bake_matches_numpy_exactly():
+    """The ingest fast path (native/ingest.cpp) must round bit-
+    identically to the NumPy bake in device_scene._bake_instance so
+    golden images are independent of which path baked the scene."""
+    from vulkan_pathtracer_tpu.ops.native import (
+        bake_triangles_native,
+        transform_dirs_native,
+        transform_points_native,
+    )
+
+    rng = np.random.default_rng(7)
+    nv = 500
+    positions = rng.uniform(-5, 5, size=(nv, 3)).astype(np.float32)
+    normals = rng.normal(size=(nv, 3)).astype(np.float32)
+    idx = rng.integers(0, nv, size=(300, 3)).astype(np.int64)
+    M = np.eye(4)
+    M[:3, :3] = rng.normal(size=(3, 3)) + np.eye(3) * 2.0  # non-orthogonal
+    M[:3, 3] = rng.normal(size=3) * 3.0
+    A = M[:3, :3]
+    t = M[:3, 3]
+    N = np.linalg.inv(A)
+
+    v0n, e1n, e2n, gnn = bake_triangles_native(positions, idx, A, t, N)
+
+    pos_w = (positions.astype(np.float64) @ A.T + t).astype(np.float32)
+    v0 = pos_w[idx[:, 0]]
+    e1 = pos_w[idx[:, 1]] - v0
+    e2 = pos_w[idx[:, 2]] - v0
+    obj = positions.astype(np.float64)
+    e1o = obj[idx[:, 1]] - obj[idx[:, 0]]
+    e2o = obj[idx[:, 2]] - obj[idx[:, 0]]
+    gn = np.cross(e1o, e2o) @ N.T
+    norm = np.linalg.norm(gn, axis=1, keepdims=True)
+    gn = (gn / np.maximum(norm, 1e-30)).astype(np.float32)
+
+    np.testing.assert_array_equal(v0n, v0)
+    np.testing.assert_array_equal(e1n, e1)
+    np.testing.assert_array_equal(e2n, e2)
+    np.testing.assert_array_equal(gnn, gn)
+
+    nrm_ref = (normals.astype(np.float64) @ N.T).astype(np.float32)
+    np.testing.assert_array_equal(transform_dirs_native(normals, N), nrm_ref)
+    np.testing.assert_array_equal(
+        transform_points_native(positions, A, t), pos_w
+    )

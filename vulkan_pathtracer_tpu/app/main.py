@@ -133,13 +133,17 @@ def main(argv=None) -> int:
         # Static-camera progressive: render batches of frames per
         # dispatch (the frame counter is only an RNG seed).
         frame = start_frame
+        frames_since_save = 0
         while frame < args.frames:
             b = min(args.batch_frames, args.frames - frame)
             sum_img, rays = pipeline.render_batch_sum(camera, frame, b)
             acc.add_frames_sum(np.asarray(sum_img), b)
             frame += b
-            if args.checkpoint and args.checkpoint_interval:
+            frames_since_save += b
+            if (args.checkpoint and args.checkpoint_interval
+                    and frames_since_save >= args.checkpoint_interval):
                 acc.save(args.checkpoint)
+                frames_since_save = 0
             dt = timer.lap()
             stats.lap(dt, timer.one_second_elapsed,
                       rays_this_frame=int(float(rays)))

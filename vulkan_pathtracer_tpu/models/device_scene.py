@@ -171,32 +171,51 @@ def _bake_instance(scene: Scene, inst, prims_out: dict, vert_base: int) -> int:
     # triangle.glsl:79: normal_world_matrix as row-mult == inverse(A) @ v.
     N = np.linalg.inv(A)
 
+    from vulkan_pathtracer_tpu.ops.native import (
+        bake_triangles_native,
+        transform_dirs_native,
+    )
+
     mesh = scene.meshes[inst.mesh_index]
     for prim_global in range(mesh.start, mesh.end):
         prim = scene.primitives[prim_global]
-        pos_w = (prim.positions.astype(np.float64) @ A.T + t).astype(np.float32)
-        nrm_w = (prim.normals.astype(np.float64) @ N.T).astype(np.float32)
+        nrm_w = transform_dirs_native(prim.normals, N)
+        if nrm_w is None:
+            nrm_w = (prim.normals.astype(np.float64) @ N.T).astype(np.float32)
         tan_w = prim.tangents.copy()
-        tan_w[:, :3] = (prim.tangents[:, :3].astype(np.float64) @ N.T).astype(
-            np.float32
-        )
+        tan_xyz = transform_dirs_native(prim.tangents[:, :3], N)
+        if tan_xyz is None:
+            tan_xyz = (
+                prim.tangents[:, :3].astype(np.float64) @ N.T
+            ).astype(np.float32)
+        tan_w[:, :3] = tan_xyz
 
         idx = prim.indices.reshape(-1, 3).astype(np.int64)
-        v0 = pos_w[idx[:, 0]]
-        v1 = pos_w[idx[:, 1]]
-        v2 = pos_w[idx[:, 2]]
-        # Object-space edge cross, then inverse(A), per triangle.glsl:99-107.
-        obj = prim.positions.astype(np.float64)
-        e1o = obj[idx[:, 1]] - obj[idx[:, 0]]
-        e2o = obj[idx[:, 2]] - obj[idx[:, 0]]
-        gn = np.cross(e1o, e2o) @ N.T
-        norm = np.linalg.norm(gn, axis=1, keepdims=True)
-        gn = (gn / np.maximum(norm, 1e-30)).astype(np.float32)
+        # Native fast path (native/ingest.cpp, bit-identical rounding);
+        # NumPy fallback below.
+        baked = bake_triangles_native(prim.positions, idx, A, t, N)
+        if baked is not None:
+            v0, e1, e2, gn = baked
+        else:
+            pos_w = (
+                prim.positions.astype(np.float64) @ A.T + t
+            ).astype(np.float32)
+            v0 = pos_w[idx[:, 0]]
+            e1 = pos_w[idx[:, 1]] - v0
+            e2 = pos_w[idx[:, 2]] - v0
+            # Object-space edge cross, then inverse(A), per
+            # triangle.glsl:99-107.
+            obj = prim.positions.astype(np.float64)
+            e1o = obj[idx[:, 1]] - obj[idx[:, 0]]
+            e2o = obj[idx[:, 2]] - obj[idx[:, 0]]
+            gn = np.cross(e1o, e2o) @ N.T
+            norm = np.linalg.norm(gn, axis=1, keepdims=True)
+            gn = (gn / np.maximum(norm, 1e-30)).astype(np.float32)
 
         tcount = idx.shape[0]
         prims_out["tri_v0"].append(v0)
-        prims_out["tri_e1"].append(v1 - v0)
-        prims_out["tri_e2"].append(v2 - v0)
+        prims_out["tri_e1"].append(e1)
+        prims_out["tri_e2"].append(e2)
         prims_out["tri_gn"].append(gn)
         prims_out["tri_index"].append((idx + vert_base).astype(np.int32))
         prims_out["tri_material"].append(

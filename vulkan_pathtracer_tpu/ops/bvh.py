@@ -152,35 +152,42 @@ def build_bvh_host(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
             split = (start + end) // 2
         return split
 
-    # Iterative preorder emission. Stack entries: (start, end, parent, is_right)
-    # We fill skip pointers afterwards from subtree sizes via parent links.
-    import sys
-
-    sys.setrecursionlimit(10000)
-
-    def emit(start: int, end: int) -> int:
-        node = len(bmin_l)
-        bmin_l.append(tmin[start:end].min(axis=0))
-        bmax_l.append(tmax[start:end].max(axis=0))
-        skip_l.append(0)          # filled below
-        if end - start <= max_leaf_size:
-            leaf_first_l.append(start)
-            leaf_count_l.append(end - start)
-            left_l.append(-1)
-            right_l.append(-1)
-        else:
-            leaf_first_l.append(-1)
-            leaf_count_l.append(0)
-            left_l.append(0)
-            right_l.append(0)
-            split = find_split(start, end)
-            left_l[node] = emit(start, split)
-            right_l[node] = emit(split, end)
-        skip_l[node] = len(bmin_l)  # preorder: escape == index after subtree
-        return node
-
+    # Iterative preorder emission (explicit stack — deep degenerate
+    # scenes must not hit Python's recursion limit; the C++ builders
+    # are iterative too).  Emit entries are (start, end, parent,
+    # is_right); patch entries (node,) fire once the node's subtree has
+    # been fully emitted and set its skip pointer to the next index.
     if t > 0:
-        emit(0, t)
+        stack: list = [(0, t, -1, False)]
+        while stack:
+            item = stack.pop()
+            if len(item) == 1:
+                skip_l[item[0]] = len(bmin_l)
+                continue
+            start, end, parent, is_right = item
+            node = len(bmin_l)
+            if parent >= 0:
+                if is_right:
+                    right_l[parent] = node
+                else:
+                    left_l[parent] = node
+            bmin_l.append(tmin[start:end].min(axis=0))
+            bmax_l.append(tmax[start:end].max(axis=0))
+            skip_l.append(0)
+            stack.append((node,))
+            if end - start <= max_leaf_size:
+                leaf_first_l.append(start)
+                leaf_count_l.append(end - start)
+                left_l.append(-1)
+                right_l.append(-1)
+            else:
+                leaf_first_l.append(-1)
+                leaf_count_l.append(0)
+                left_l.append(0)
+                right_l.append(0)
+                split = find_split(start, end)
+                stack.append((split, end, node, True))
+                stack.append((start, split, node, False))
 
     n = len(bmin_l)
     return HostBVH(

@@ -127,6 +127,64 @@ def lbvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
     )
 
 
+def bake_triangles_native(positions: np.ndarray, indices: np.ndarray,
+                          A: np.ndarray, t: np.ndarray, N: np.ndarray):
+    """World-space triangle bake (v0, e1, e2, geometric normal) for one
+    instance — the native fast path of device_scene._bake_instance.
+    Bit-identical to the NumPy bake (see native/ingest.cpp rounding
+    notes). Returns (v0, e1, e2, gn) each (T, 3) f32, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(indices.reshape(-1), np.uint32)
+    n_tris = idx.shape[0] // 3
+    v0 = np.empty((n_tris, 3), np.float32)
+    e1 = np.empty((n_tris, 3), np.float32)
+    e2 = np.empty((n_tris, 3), np.float32)
+    gn = np.empty((n_tris, 3), np.float32)
+    lib.bake_triangles(
+        np.ascontiguousarray(positions, np.float32).reshape(-1),
+        positions.shape[0], idx, n_tris,
+        np.ascontiguousarray(A, np.float64).reshape(-1),
+        np.ascontiguousarray(t, np.float64).reshape(-1),
+        np.ascontiguousarray(N, np.float64).reshape(-1),
+        v0.reshape(-1), e1.reshape(-1), e2.reshape(-1), gn.reshape(-1),
+    )
+    return v0, e1, e2, gn
+
+
+def transform_points_native(points: np.ndarray, A: np.ndarray,
+                            t: np.ndarray):
+    """World-space position transform (f32 in/out), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((points.shape[0], 3), np.float32)
+    lib.transform_points(
+        np.ascontiguousarray(points, np.float32).reshape(-1),
+        points.shape[0],
+        np.ascontiguousarray(A, np.float64).reshape(-1),
+        np.ascontiguousarray(t, np.float64).reshape(-1),
+        out.reshape(-1),
+    )
+    return out
+
+
+def transform_dirs_native(dirs: np.ndarray, N: np.ndarray):
+    """Direction transform by a 3x3 (normals/tangents), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((dirs.shape[0], 3), np.float32)
+    lib.transform_dirs(
+        np.ascontiguousarray(dirs, np.float32).reshape(-1),
+        dirs.shape[0],
+        np.ascontiguousarray(N, np.float64).reshape(-1),
+        out.reshape(-1),
+    )
+    return out
+
+
 def octant_orders_native(bmin, bmax, left, right, leaf_first, leaf_count):
     """8 direction-octant DFS linearizations; returns
     (skip8, leaf_first8, leaf_count8, perm8) each (8, Nn), or None."""

@@ -81,12 +81,19 @@ DEFAULT_RAY_CHUNK = 1 << 17  # target rays per dispatch
 
 
 def _pick_chunks(n: int, target: int) -> int:
-    """Smallest chunk count >= n/target that divides n exactly."""
+    """Smallest chunk count >= n/target that divides n exactly.
+
+    Bounded scan: if no divisor lands within 4x of the ideal count
+    (prime-ish n), fall back to a single chunk rather than degrade
+    into thousands of tiny dispatches."""
     if target <= 0 or n <= target:
         return 1
-    num = -(-n // target)
+    ideal = -(-n // target)
+    num = ideal
     while n % num:
         num += 1
+        if num > 4 * ideal:
+            return 1
     return num
 
 
@@ -273,7 +280,7 @@ class RenderPipeline:
             russian_roulette=self.config.russian_roulette,
             rr_start_bounce=self.config.rr_start_bounce,
             ray_chunk=self.config.ray_chunk,
-            sort_secondary=self.config.wavefront_compaction,
+            sort_secondary=self.config.sort_secondary,
             seed_secondary=self.config.seed_secondary,
         )
         return image, rays
@@ -300,7 +307,7 @@ class RenderPipeline:
             russian_roulette=self.config.russian_roulette,
             rr_start_bounce=self.config.rr_start_bounce,
             ray_chunk=self.config.ray_chunk,
-            sort_secondary=self.config.wavefront_compaction,
+            sort_secondary=self.config.sort_secondary,
             seed_secondary=self.config.seed_secondary,
         )
 

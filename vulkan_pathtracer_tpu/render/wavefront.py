@@ -21,6 +21,14 @@ f0 = mix(0.02, albedo, metallic); diffuse_albedo = albedo*(1-metallic);
 roughness >= 0.006; origin offset 1e-5 * geometry_normal; path kill on
 lambert_in <= 0; atten *= brdf * cos / pdf.
 
+Deliberate deviation: the pdf divide is clamped with
+``max(density, 1e-30)`` whereas the reference divides unguarded
+(ray_gen.rgen:95).  On degenerate lanes (density == 0) the reference
+produces inf/NaN attenuation; those lanes are already masked dead here
+(lambert_in <= 0 kills them before the weight is applied), so the
+clamp only prevents transient NaNs from tripping ``jax_debug_nans`` —
+live-lane radiance is unchanged.
+
 Russian roulette is an *extension* (off by default): survival
 probability = clamp(max-component of atten), drawn from the same
 pcg2d stream, applied from ``rr_start_bounce`` on.

@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulate radiance across frames")
     p.add_argument("--russian-roulette", action="store_true",
                    help="enable RR path termination (extension)")
-    p.add_argument("--traversal", choices=["auto", "bvh", "brute"],
+    p.add_argument("--traversal",
+                   choices=["auto", "bvh", "brute", "pallas", "pallas8"],
                    default="auto")
     p.add_argument("--devices", type=int, default=1,
                    help="shard the framebuffer across this many devices")

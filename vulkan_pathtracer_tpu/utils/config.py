@@ -33,7 +33,10 @@ class RenderConfig:
     traversal: str = "auto"         # auto | bvh | brute | pallas
     # Sort bounce rays by (octant, origin Morton) before traversal —
     # pure scheduling, per-ray results unchanged; 2-3x on bounces.
-    wavefront_compaction: bool = True
+    sort_secondary: bool = True
+    # True wavefront compaction: shrink the dispatch to live rays
+    # between bounces (prefix-sum compaction; SURVEY.md §7 M3).
+    compact_secondary: bool = False
     # Seed bounce-ray t_best with a hit from the previous bounce's
     # leaf block (valid-hit pre-pass; results unchanged). Wins in
     # interior scenes, loses slightly in open scenes — opt in.
@@ -65,7 +68,7 @@ class RenderConfig:
             self.russian_roulette,
             self.rr_start_bounce,
             self.traversal,
-            self.wavefront_compaction,
+            self.sort_secondary,
             self.ray_chunk,
             self.seed_secondary,
         )
