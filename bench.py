@@ -84,6 +84,7 @@ def main() -> int:
     config = RenderConfig(
         num_samples=spp, num_bounces=bounces,
         resolution_x=width, resolution_y=height,
+        traversal=os.environ.get("BENCH_TRAVERSAL", "auto"),
     )
     pipeline = RenderPipeline(dev, config)
 

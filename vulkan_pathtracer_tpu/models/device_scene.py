@@ -123,6 +123,12 @@ class DeviceScene:
     # 8-wide BVH (ops/bvh_wide.py): per-octant slot tiles for the wide
     # Pallas kernel.
     bvh_wide_nodes: Optional[jnp.ndarray] = None  # (8*Nw, 8, 8) f32
+    # Dense node rows for the run-kernel (ops/pallas_traverse.py):
+    # 16 preorder nodes per 128-lane row (node n of octant o lives at
+    # row o*R + n//16, lanes (n%16)*8 .. +7 = bmin,bmax,skip,leaf as
+    # float VALUES).  8x denser in VMEM than bvh_packed's 512B/node
+    # tile padding, so all 8 octants stay resident.
+    bvh_rows: Optional[jnp.ndarray] = None     # (orders*R, 128) f32
 
     num_triangles: int = 0  # un-padded triangle count (static aux)
     bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
@@ -142,7 +148,7 @@ class DeviceScene:
         "bvh_leaf_count", "bvh_left", "bvh_right",
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
-        "tri_attr", "mat_packed", "bvh_wide_nodes",
+        "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_rows",
     )
 
     def tree_flatten(self):
@@ -257,6 +263,47 @@ def apply_slot_map(arr: np.ndarray, slot_map: np.ndarray) -> np.ndarray:
     out = arr[np.maximum(slot_map, 0)]
     out[slot_map < 0] = 0
     return out
+
+
+NODES_PER_ROW = 16  # dense-row kernel: 16 nodes x 8 fields = 128 lanes
+
+
+def build_dense_rows(bmin, bmax, skip_local, leaf_first, orders: int, xp):
+    """Pack octant-stacked node arrays into dense 128-lane rows.
+
+    Inputs are (orders*Nn, 3|1) in octant-major traversal order with
+    LOCAL skip pointers; output is (orders*R, 128) f32 where
+    R = ceil(Nn/16).  The kernel's cursor space is the PADDED count
+    R*16: real exit skips (== Nn) land on the first padding node, whose
+    degenerate box (bmin == bmax == +3e38, unhittable for any direction
+    sign) and skip == R*16 forward the cursor out.  ``xp`` is numpy at
+    bake time or jax.numpy inside the jitted refit.
+    """
+    f32 = xp.float32
+    n_total = bmin.shape[0]
+    nn = n_total // orders
+    r = -(-nn // NODES_PER_ROW)
+    fields = xp.concatenate(
+        [
+            bmin.astype(f32), bmax.astype(f32),
+            skip_local.astype(f32).reshape(-1, 1),
+            leaf_first.astype(f32).reshape(-1, 1),
+        ],
+        axis=1,
+    ).reshape(orders, nn, 8)
+    pad = r * NODES_PER_ROW - nn
+    if pad:
+        pad_block = xp.concatenate(
+            [
+                xp.full((orders, pad, 3), 3e38, f32),
+                xp.full((orders, pad, 3), 3e38, f32),
+                xp.full((orders, pad, 1), float(r * NODES_PER_ROW), f32),
+                xp.full((orders, pad, 1), -1.0, f32),
+            ],
+            axis=2,
+        )
+        fields = xp.concatenate([fields, pad_block], axis=1)
+    return fields.reshape(orders * r, 8 * NODES_PER_ROW)
 
 
 def build_device_scene(scene: Scene, build_bvh: bool = True,
@@ -482,6 +529,10 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         dev.bvh_packed = jnp.asarray(
             np.concatenate([bmin_s, bmax_s, tail], axis=1).astype(np.float32)
         )
+        dev.bvh_rows = jnp.asarray(build_dense_rows(
+            bmin_s, bmax_s, skip_local.astype(np.float32),
+            lf.astype(np.float32), dev.bvh_orders, np,
+        ))
         n_blocks = (bvh.leaf_first.max() // max_leaf_size) + 1
         flat = np.concatenate(
             [np.asarray(tri_v0), np.asarray(tri_e1), np.asarray(tri_e2)],

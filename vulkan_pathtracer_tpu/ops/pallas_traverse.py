@@ -620,3 +620,359 @@ def wide_fits_vmem(scene, budget_bytes: int = None) -> bool:
     tri_bytes = scene.tri_blocks.shape[0] * 512
     state = 8 * PACKET * 4 * 4 * 2
     return (2 * node_bytes + tri_bytes + state) < budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# Dense-row run kernel: 16 preorder nodes per 128-lane VMEM row.
+#
+# The binary packet kernel above is per-visit-overhead-bound (~350
+# cycles per node: serial scalar loads -> vector slab -> cross-lane
+# reduce -> branch) and its (Nn, 8) node rows tile-pad to 512B/node.
+# This kernel attacks both:
+#
+#   - 16 consecutive preorder nodes share one (1, 128) VMEM row
+#     (8 f32 fields each), so node storage is 32B/node -- 8x denser --
+#     and ALL 8 octant linearizations stay resident (no re-staging on
+#     octant switches).  Scene ceiling rises to ~800k triangles.
+#   - One loop iteration slab-tests all 16 nodes of the cursor's row
+#     (static lane offsets, dynamic sublane row) and then follows the
+#     traversal chain through the row with pure scalar selects:
+#     descending packets advance up to 16 nodes per serial iteration
+#     instead of 1.  Off-chain tests are speculative but harmless --
+#     intersections can only be true hits (a triangle hit implies its
+#     leaf AABB is hit), so results are identical.
+#   - Per-node union-hit flags are extracted 2-per-reduction by
+#     packing two 0/1 hit masks as counts (c0 + 4096*c1 <= 2^23, exact
+#     in f32) -- 8 reductions per row instead of 16 `any()`s.
+#   - Leaf intersection drops the (redundant) per-lane box mask: any
+#     Moller-Trumbore hit with t in (tmin, min(t_best, tmax)) is a true
+#     closest-hit candidate whether or not the slab test passed.
+#
+# Semantics parity with the packet kernel / XLA path / brute force is
+# unchanged (same MT + slab arithmetic, t==1e32 miss sentinel).
+# ---------------------------------------------------------------------------
+NODES_PER_ROW = 16
+import os as _os  # noqa: E402
+
+DENSE_PACKET = int(_os.environ.get("VKPT_DENSE_PACKET", 2048))
+
+
+def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
+                       packet: int, C: int, tmin: float):
+    sub = packet // _LANE
+    npr = NODES_PER_ROW
+
+    def kernel(octant_ref, rows_ref, tris_ref, rays_ref, out_ref):
+        oct_ = octant_ref[pl.program_id(0)]
+        base_row = oct_ * rows_per_oct
+
+        comps = []
+        for c in range(C):
+            comps.append(
+                [rays_ref[0, c, i, :].reshape(sub, _LANE) for i in range(12)]
+            )
+
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        inv = [[sinv(comps[c][3]), sinv(comps[c][4]), sinv(comps[c][5])]
+               for c in range(C)]
+        # Hoisted per-ray slab terms: t_plane = b * inv - o*inv.
+        oinv = [[comps[c][0] * inv[c][0],
+                 comps[c][1] * inv[c][1],
+                 comps[c][2] * inv[c][2]] for c in range(C)]
+
+        t0s = [comps[c][7] for c in range(C)]
+        tri0s = [jax.lax.bitcast_convert_type(comps[c][8], jnp.int32)
+                 for c in range(C)]
+        u0s = [comps[c][9] for c in range(C)]
+        v0s = [comps[c][10] for c in range(C)]
+
+        def cond(state):
+            nodes = state[0]
+            alive = nodes[0] < n_nodes
+            for c in range(1, C):
+                alive = jnp.logical_or(alive, nodes[c] < n_nodes)
+            return alive
+
+        def body(state):
+            nodes, tb, trib, ub, vb = state
+            new_nodes = []
+            tb = list(tb)
+            trib = list(trib)
+            ub = list(ub)
+            vb = list(vb)
+            for c in range(C):
+                node = nodes[c]
+                nd = jnp.minimum(node, n_nodes - 1)
+                live = node < n_nodes
+                rrel = nd // npr
+                row = base_row + rrel
+                nbase = rrel * npr
+                ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
+                ix, iy, iz = inv[c]
+                oxi, oyi, ozi = oinv[c]
+                t_lim = jnp.minimum(tb[c], tl)
+
+                def slab(j):
+                    b = [rows_ref[row, j * 8 + f] for f in range(6)]
+                    tx0 = b[0] * ix - oxi
+                    tx1 = b[3] * ix - oxi
+                    ty0 = b[1] * iy - oyi
+                    ty1 = b[4] * iy - oyi
+                    tz0 = b[2] * iz - ozi
+                    tz1 = b[5] * iz - ozi
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1),
+                                    jnp.float32(tmin)),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), t_lim),
+                    )
+                    return jnp.where(tn <= tf, 1.0, 0.0)
+
+                # Union-hit flags, two nodes per cross-lane reduction:
+                # per-lane counts c0 + 4096*c1 stay exact in f32
+                # (packet <= 4096 => c0 < 2^12, total < 2^24).
+                hits = []
+                for jp in range(npr // 2):
+                    h = slab(2 * jp) + slab(2 * jp + 1) * jnp.float32(4096.0)
+                    s = jnp.sum(h).astype(jnp.int32)
+                    hits.append((s & 4095) > 0)
+                    hits.append(s >= 4096)
+
+                metas = [rows_ref[row, j * 8 + 6].astype(jnp.int32)
+                         for j in range(npr)]
+                leafs = [rows_ref[row, j * 8 + 7] for j in range(npr)]
+
+                # Follow the traversal chain through the row with pure
+                # scalar selects: at the node the cursor occupies, the
+                # successor is skip for leaves (and misses) or the next
+                # preorder node for hit internals.  Skips are strictly
+                # forward, so one pass over j covers any chain.  The
+                # path never depends on leaf intersections (a leaf's
+                # successor is always its skip), so on-chain leaf
+                # VALUES are recorded into 3 slots during the walk and
+                # intersected afterwards -- 3 lax.conds threading the
+                # 4-vreg hit state instead of 16.  A 4th on-chain leaf
+                # freezes the cursor on itself; the next iteration
+                # redoes the row (rare).
+                nxt = node
+                neg1 = jnp.float32(-1.0)
+                lv0 = neg1
+                lv1 = neg1
+                lv2 = neg1
+                for j in range(npr):
+                    n_abs = nbase + j
+                    is_leaf_j = leafs[j] >= 0.0
+                    on = jnp.logical_and(live, nxt == n_abs)
+                    hit_leaf = jnp.logical_and(on, is_leaf_j)
+                    frozen = jnp.logical_and(hit_leaf, lv2 >= 0.0)
+                    take2 = hit_leaf & (lv1 >= 0.0) & (lv2 < 0.0)
+                    take1 = hit_leaf & (lv0 >= 0.0) & (lv1 < 0.0)
+                    take0 = hit_leaf & (lv0 < 0.0)
+                    lv2 = jnp.where(take2, leafs[j], lv2)
+                    lv1 = jnp.where(take1, leafs[j], lv1)
+                    lv0 = jnp.where(take0, leafs[j], lv0)
+                    succ = jnp.where(
+                        is_leaf_j, metas[j],
+                        jnp.where(hits[j], n_abs + 1, metas[j]),
+                    )
+                    nxt = jnp.where(on & ~frozen, succ, nxt)
+
+                def make_leaf_case(lv, c=c):
+                    leaf_i = lv.astype(jnp.int32)
+
+                    def leaf_case(args, leaf_i=leaf_i):
+                        t_best, tri_best, u_best, v_best = args
+                        ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
+                        trow = leaf_i // block
+                        for k in range(block):
+                            base = k * 9
+                            v0x = tris_ref[trow, base + 0]
+                            v0y = tris_ref[trow, base + 1]
+                            v0z = tris_ref[trow, base + 2]
+                            e1x = tris_ref[trow, base + 3]
+                            e1y = tris_ref[trow, base + 4]
+                            e1z = tris_ref[trow, base + 5]
+                            e2x = tris_ref[trow, base + 6]
+                            e2y = tris_ref[trow, base + 7]
+                            e2z = tris_ref[trow, base + 8]
+                            px = dy * e2z - dz * e2y
+                            py = dz * e2x - dx * e2z
+                            pz = dx * e2y - dy * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            front = det > 0.0
+                            inv_det = 1.0 / jnp.where(front, det, 1.0)
+                            tx = ox - v0x
+                            ty = oy - v0y
+                            tz = oz - v0z
+                            u = (tx * px + ty * py + tz * pz) * inv_det
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            v = (dx * qx + dy * qy + dz * qz) * inv_det
+                            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            t_hi = jnp.minimum(t_best, tl)
+                            hit = (front & (u >= 0.0) & (v >= 0.0)
+                                   & (u + v <= 1.0) & (t > tmin)
+                                   & (t < t_hi))
+                            t_best = jnp.where(hit, t, t_best)
+                            tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                            u_best = jnp.where(hit, u, u_best)
+                            v_best = jnp.where(hit, v, v_best)
+                        return t_best, tri_best, u_best, v_best
+
+                    return leaf_case
+
+                tbc, tric, ubc, vbc = tb[c], trib[c], ub[c], vb[c]
+                for lv in (lv0, lv1, lv2):
+                    tbc, tric, ubc, vbc = jax.lax.cond(
+                        lv >= 0.0, make_leaf_case(lv), lambda a: a,
+                        (tbc, tric, ubc, vbc),
+                    )
+                tb[c], trib[c], ub[c], vb[c] = tbc, tric, ubc, vbc
+                new_nodes.append(jnp.where(live, nxt, node))
+            return (tuple(new_nodes), tuple(tb), tuple(trib), tuple(ub),
+                    tuple(vb))
+
+        init = (tuple(jnp.int32(0) for _ in range(C)),
+                tuple(t0s), tuple(tri0s), tuple(u0s), tuple(v0s))
+        _, tb, trib, ub, vb = jax.lax.while_loop(cond, body, init)
+        for c in range(C):
+            out_ref[0, c, 0, :] = tb[c].reshape(-1)
+            out_ref[0, c, 1, :] = jax.lax.bitcast_convert_type(
+                trib[c], jnp.float32
+            ).reshape(-1)
+            out_ref[0, c, 2, :] = ub[c].reshape(-1)
+            out_ref[0, c, 3, :] = vb[c].reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("orders", "interpret"))
+def _dense_traverse(rows, tris, rays, octants, *, orders=8,
+                    interpret=False):
+    """rows: (orders*R, 128) f32 dense node rows; tris: (n_leaves,
+    block*9) f32; rays: (G, C, 12, PACKET) f32; octants: (G,) int32.
+    Returns (G, C, 4, PACKET) f32."""
+    total_rows = rows.shape[0]
+    rows_per_oct = total_rows // orders
+    n_nodes = rows_per_oct * NODES_PER_ROW  # includes exit-padding nodes
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, C, _, packet = rays.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((total_rows, 8 * NODES_PER_ROW),
+                         lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 12, packet),
+                         lambda i, octs: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, 4, packet),
+                               lambda i, octs: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    # Padding nodes carry skip == true Nn, and cursors treat any node
+    # id >= n_nodes as done; using the padded count keeps the kernel
+    # honest for rays that finish on a padding node.
+    kernel = _make_dense_kernel(n_nodes, rows_per_oct, block, packet, C,
+                                TMIN)
+    need = total_rows * 512 + n_leaves * 512 + 8 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, C, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(octants, rows, tris, rays)
+
+
+def pallas_dense_closest_hit(scene, origin, direction, active=None,
+                             interpret=False, seed=None,
+                             packet: int = None, interleave: int = 1) -> Hit:
+    """Closest hit via the dense-row run kernel (scene.bvh_rows)."""
+    n = origin.shape[0]
+    if packet is None:
+        packet = DENSE_PACKET
+    C = interleave
+
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.int32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.int32)
+    )
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+
+    group = packet * C
+    pad = (-n) % group
+    total = n + pad
+    n_groups = total // group
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    st, strif, su, sv = _seed_channels(n, seed)
+    miss_bits = float(
+        np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0]
+    )
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, miss_bits),
+            pad1(su), pad1(sv),
+            jnp.zeros((total,), jnp.float32),
+        ],
+        axis=0,
+    ).reshape(12, n_groups, C, packet).transpose(1, 2, 0, 3)
+
+    group_oct = jnp.pad(octant, (0, pad)).reshape(n_groups, group)[:, 0]
+
+    out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
+                          group_oct, orders=scene.bvh_orders,
+                          interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+    t = out[0]
+    tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return Hit(t=t, tri=tri, u=out[2], v=out[3])
+
+
+def dense_fits_vmem(scene, budget_bytes: int = None) -> bool:
+    """Dense rows are 512B per 16 nodes with no tile waste, and all
+    octants stay resident -- ceiling ~800k triangles on a 128MB-VMEM
+    chip (vs ~140k for the 512B/node packet kernel)."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024
+        ))
+    if getattr(scene, "bvh_rows", None) is None or scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    rows_bytes = scene.bvh_rows.shape[0] * 512
+    tri_bytes = scene.tri_blocks.shape[0] * 512
+    state = 8 * DENSE_PACKET * 4 * 4 * 2
+    return (rows_bytes + tri_bytes + state) < budget_bytes

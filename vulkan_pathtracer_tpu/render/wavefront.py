@@ -68,12 +68,14 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                  seed=None):
     if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
         return brute_force_closest_hit(scene, origin, direction, active)
-    if traversal in ("pallas", "pallas8", "auto"):
+    if traversal in ("pallas", "pallas8", "pallas_packet", "auto"):
         import jax
 
         from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+            dense_fits_vmem,
             fits_vmem,
             pallas_closest_hit,
+            pallas_dense_closest_hit,
             pallas_wide_closest_hit,
             wide_fits_vmem,
         )
@@ -88,13 +90,28 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 scene, origin, direction, active, interpret=not on_tpu,
                 seed=seed,
             )
-        if traversal == "pallas" or (
-            traversal == "auto" and on_tpu and fits_vmem(scene)
-        ):
+        # pallas_packet is the round-1 binary packet kernel (one node
+        # per visit), kept for A/B comparisons.
+        if traversal == "pallas_packet" and fits_vmem(scene):
             return pallas_closest_hit(
                 scene, origin, direction, active, interpret=not on_tpu,
                 seed=seed,
             )
+        # Default fast path: the dense-row run kernel (16 nodes per
+        # visit, all octants VMEM-resident, ~800k-tri ceiling).
+        if traversal == "pallas" or (
+            traversal == "auto" and on_tpu
+        ):
+            if dense_fits_vmem(scene):
+                return pallas_dense_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed,
+                )
+            if fits_vmem(scene):
+                return pallas_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed,
+                )
     return bvh_closest_hit(scene, origin, direction, active, seed=seed)
 
 
@@ -114,6 +131,8 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
     packet kernel; dead rays cluster at the end and their packets
     terminate immediately), then scatter results back to pixel order.
     Per-ray results are identical to the unsorted dispatch."""
+    import os
+
     octant = (
         (direction[:, 0] < 0).astype(jnp.uint32)
         + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
@@ -132,7 +151,26 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
             | (_interleave10(q[:, 1]) << 1)
             | (_interleave10(q[:, 2]) << 2)
         )
-        key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
+        # Key layouts (VKPT_SORT_KEY): "oct" = direction octant then
+        # origin Morton (default); "dir<B>" = B extra direction bits
+        # per axis interleaved ahead of the Morton bits (tighter
+        # direction bundles, coarser origin locality).
+        key_kind = os.environ.get("VKPT_SORT_KEY", "oct")
+        if key_kind.startswith("dir"):
+            bits = int(key_kind[3:] or 1)
+            dq = jnp.clip(
+                (direction * 0.5 + 0.5) * ((1 << bits) - 0.001),
+                0.0, float((1 << bits) - 1),
+            ).astype(jnp.uint32)
+            dirb = (
+                (dq[:, 0] << jnp.uint32(2 * bits))
+                | (dq[:, 1] << jnp.uint32(bits))
+                | dq[:, 2]
+            )
+            shift = jnp.uint32(32 - 3 * bits)
+            key = (dirb << shift) | (morton >> jnp.uint32(3 * bits - 2))
+        else:
+            key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
     else:
         key = octant
     if active is not None:

@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--russian-roulette", action="store_true",
                    help="enable RR path termination (extension)")
     p.add_argument("--traversal",
-                   choices=["auto", "bvh", "brute", "pallas", "pallas8"],
+                   choices=["auto", "bvh", "brute", "pallas",
+                            "pallas_packet", "pallas8"],
                    default="auto")
     p.add_argument("--devices", type=int, default=1,
                    help="shard the framebuffer across this many devices")

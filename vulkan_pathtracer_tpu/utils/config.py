@@ -30,7 +30,8 @@ class RenderConfig:
     progressive: bool = False       # accumulate across frames
     russian_roulette: bool = False  # RR path termination after bounce 2
     rr_start_bounce: int = 2
-    traversal: str = "auto"         # auto | bvh | brute | pallas
+    traversal: str = "auto"  # auto | bvh | brute | pallas (dense run
+    # kernel) | pallas_packet (round-1 binary kernel) | pallas8 (wide)
     # Sort bounce rays by (octant, origin Morton) before traversal —
     # pure scheduling, per-ray results unchanged; 2-3x on bounces.
     sort_secondary: bool = True
