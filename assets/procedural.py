@@ -474,3 +474,144 @@ def make_columns(path: str, grid: int = 8, segments: int = 6,
             node_index += 1
     nodes.append(NodeDesc(mesh=n_materials))  # floor + light
     write_glb(path, meshes=meshes, materials=materials, nodes=nodes)
+
+
+def _panel_field(origin, du, dv, nu: int, nv: int, thickness: float,
+                 normal_axis: int, normal_sign: float, mat_fn,
+                 jitter: float = 0.0, rng=None) -> List[PrimData]:
+    """Grid of nu x nv thin boxes tiling the rectangle origin + u*du +
+    v*dv (du/dv are FULL edge vectors).  Each panel is extruded
+    ``thickness`` along ``normal_axis`` (sign ``normal_sign``) with an
+    optional random depth jitter — cheap Sponza-like relief detail."""
+    origin = np.asarray(origin, np.float64)
+    du = np.asarray(du, np.float64) / nu
+    dv = np.asarray(dv, np.float64) / nv
+    out = []
+    for i in range(nu):
+        for j in range(nv):
+            c = origin + du * (i + 0.5) + dv * (j + 0.5)
+            t = thickness * (1.0 + (rng.uniform(0, jitter) if jitter else 0))
+            size = np.abs(du) * 0.94 + np.abs(dv) * 0.94
+            size[normal_axis] = t
+            center = c.copy()
+            center[normal_axis] += normal_sign * t * 0.5
+            out.append(box_prim(tuple(center), tuple(size), mat_fn(i, j)))
+    return out
+
+
+def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
+                ) -> None:
+    """config[2]: Sponza-class stand-in — an ENCLOSED two-story atrium
+    (Sponza is an interior courtyard, not an open field): paneled
+    floor/walls/ceiling with relief jitter, two colonnade levels
+    around the court, a balustrade, scattered props, and a central
+    ceiling opening that admits the sky (the only light, like the
+    reference's sky-lit Sponza renders).  ``detail`` scales panel
+    subdivision: detail=1.0 ~ 260k triangles (Sponza is ~262k).
+
+    Interior-bench note: place the camera INSIDE (|x|<9, |z|<5,
+    0.5<y<9); bench.py uses an interior orbit for BENCH_SCENE=atrium.
+    """
+    rng = np.random.default_rng(7)
+    X, Z, H = 24.0, 14.0, 10.0   # hall half-extents 12 x 7, height 10
+    hx, hz = X / 2, Z / 2
+    materials = [
+        MaterialDesc(
+            base_color=tuple(rng.uniform(0.25, 0.8, size=3)) + (1.0,),
+            metallic=float(rng.uniform(0.0, 0.3)),
+            roughness=float(rng.uniform(0.3, 0.95)),
+        )
+        for _ in range(n_materials)
+    ]
+
+    def mat(i, j):
+        return (i * 7 + j * 13) % n_materials
+
+    s = math.sqrt(max(detail, 0.05))
+    prims: List[PrimData] = []
+    # Floor / ceiling panel fields (ceiling leaves a central opening).
+    fnu, fnv = int(44 * s), int(26 * s)
+    prims += _panel_field((-hx, 0, -hz), (X, 0, 0), (0, 0, Z), fnu, fnv,
+                          0.06, 1, 1.0, mat, jitter=0.5, rng=rng)
+    cnu, cnv = int(44 * s), int(26 * s)
+    # Large central opening, like Sponza's court open to the sky.
+    open_u = (0.2, 0.8)
+    open_v = (0.16, 0.84)
+    ceil = _panel_field((-hx, H, -hz), (X, 0, 0), (0, 0, Z), cnu, cnv,
+                        0.06, 1, -1.0, mat, jitter=0.5, rng=rng)
+    kept = []
+    for idx, p in enumerate(ceil):
+        i = idx // cnv
+        j = idx % cnv
+        if (open_u[0] < (i + 0.5) / cnu < open_u[1]
+                and open_v[0] < (j + 0.5) / cnv < open_v[1]):
+            continue
+        kept.append(p)
+    prims += kept
+    # Walls (inward-extruded panels).
+    wn_h = int(40 * s)
+    wn_v = int(18 * s)
+    prims += _panel_field((-hx, 0, -hz), (X, 0, 0), (0, H, 0), wn_h, wn_v,
+                          0.08, 2, 1.0, mat, jitter=0.6, rng=rng)
+    prims += _panel_field((-hx, 0, hz), (X, 0, 0), (0, H, 0), wn_h, wn_v,
+                          0.08, 2, -1.0, mat, jitter=0.6, rng=rng)
+    wn_h2 = int(24 * s)
+    prims += _panel_field((-hx, 0, -hz), (0, 0, Z), (0, H, 0), wn_h2, wn_v,
+                          0.08, 0, 1.0, mat, jitter=0.6, rng=rng)
+    prims += _panel_field((hx, 0, -hz), (0, 0, Z), (0, H, 0), wn_h2, wn_v,
+                          0.08, 0, -1.0, mat, jitter=0.6, rng=rng)
+
+    # Two colonnade levels around the court ring.
+    ring_x, ring_z = hx - 2.2, hz - 2.2
+    seg = max(int(16 * s), 6)
+    col_step = 1.6
+    levels = [(0.0, 4.6), (5.0, 4.2)]
+    xs = np.arange(-ring_x, ring_x + 1e-6, col_step)
+    zs = np.arange(-ring_z, ring_z + 1e-6, col_step)
+    positions = [(x, -ring_z) for x in xs] + [(x, ring_z) for x in xs] \
+        + [(-ring_x, z) for z in zs[1:-1]] + [(ring_x, z) for z in zs[1:-1]]
+    for ci, (cx, cz) in enumerate(positions):
+        for li, (y0, ch) in enumerate(levels):
+            parts = []
+            for k in range(seg):
+                r = 0.22 + 0.06 * math.sin(k * 1.3 + ci)
+                parts.append(box_prim(
+                    (cx, y0 + (k + 0.5) * ch / seg, cz),
+                    (r, ch / seg, r), (ci + k + li) % n_materials))
+            parts.append(box_prim((cx, y0 + ch + 0.1, cz),
+                                  (0.5, 0.2, 0.5), ci % n_materials))
+            prims += parts
+    # Balustrade posts on level 2.
+    post_step = 0.4
+    xs2 = np.arange(-ring_x, ring_x + 1e-6, post_step)
+    zs2 = np.arange(-ring_z, ring_z + 1e-6, post_step)
+    ring2 = [(x, -ring_z) for x in xs2] + [(x, ring_z) for x in xs2] \
+        + [(-ring_x, z) for z in zs2[1:-1]] + [(ring_x, z) for z in zs2[1:-1]]
+    for pi, (px, pz) in enumerate(ring2):
+        prims.append(box_prim((px, 5.0 + 0.35, pz), (0.08, 0.7, 0.08),
+                              (pi * 3) % n_materials))
+    # Level-2 walkway slabs between the colonnade ring and the walls.
+    wnu = int(30 * s)
+    prims += _panel_field((-hx, 4.9, -hz), (X, 0, 0), (0, 0, 2.2 - 0.1),
+                          wnu, max(int(4 * s), 2), 0.1, 1, 1.0, mat,
+                          rng=rng)
+    prims += _panel_field((-hx, 4.9, hz - 2.1), (X, 0, 0), (0, 0, 2.0),
+                          wnu, max(int(4 * s), 2), 0.1, 1, 1.0, mat,
+                          rng=rng)
+    # Floor props (crates/urns) in the court.
+    n_props = int(120 * detail)
+    for pi in range(n_props):
+        px = rng.uniform(-ring_x + 1, ring_x - 1)
+        pz = rng.uniform(-ring_z + 1, ring_z - 1)
+        w = rng.uniform(0.25, 0.8)
+        h = rng.uniform(0.25, 1.2)
+        prims.append(box_prim((px, h / 2 + 0.08, pz), (w, h, w),
+                              int(rng.integers(0, n_materials))))
+
+    # Group prims into meshes by material (multi-primitive meshes).
+    by_mat: dict = {}
+    for p in prims:
+        by_mat.setdefault(p.material, []).append(p)
+    meshes = [[merge_prims(ps, m)] for m, ps in sorted(by_mat.items())]
+    nodes = [NodeDesc(mesh=i) for i in range(len(meshes))]
+    write_glb(path, meshes=meshes, materials=materials, nodes=nodes)

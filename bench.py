@@ -48,9 +48,24 @@ def main() -> int:
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     grid = int(os.environ.get("BENCH_GRID", 14))
     segments = int(os.environ.get("BENCH_SEGMENTS", 24))
-    scene_kind = os.environ.get("BENCH_SCENE", "columns")
+    # Default headline scene: the enclosed Sponza-class atrium at
+    # Sponza's triangle count (~260k) — BASELINE.json names Sponza
+    # (an interior courtyard), and round 1's open columns scene both
+    # undersized the load (56k tris) and misrepresented bounce-ray
+    # behavior (open sky everywhere).  BENCH_SCENE=columns restores
+    # the old stand-in.
+    scene_kind = os.environ.get("BENCH_SCENE", "atrium")
 
-    if scene_kind == "columns":
+    if scene_kind == "atrium":
+        from assets.procedural import make_atrium
+
+        detail = float(os.environ.get("BENCH_DETAIL", 4.1))
+        scene_path = os.path.join(
+            tempfile.gettempdir(), f"bench_atrium_{detail}.glb"
+        )
+        if not os.path.exists(scene_path):
+            make_atrium(scene_path, detail=detail)
+    elif scene_kind == "columns":
         scene_path = os.path.join(
             tempfile.gettempdir(), f"bench_columns_{grid}_{segments}.glb"
         )
@@ -90,13 +105,19 @@ def main() -> int:
 
     from vulkan_pathtracer_tpu.app.camera_path import orbit_path
 
-    # Orbit radius from the scene bounds (octant-0 BVH root).
-    root_min = np.asarray(dev.bvh_packed[0, 0:3])
-    root_max = np.asarray(dev.bvh_packed[0, 3:6])
-    extent = float(np.max(root_max - root_min))
-    center = (root_min + root_max) * 0.5
-    path = orbit_path(radius=0.75 * extent, height=0.35 * extent,
-                      duration=4.0, center=tuple(center))
+    if scene_kind == "atrium":
+        # Interior orbit: the camera stays inside the court (the whole
+        # point of a Sponza-class scene is interior traversal).
+        path = orbit_path(radius=4.5, height=2.2, duration=4.0,
+                          center=(0.0, 1.2, 0.0))
+    else:
+        # Orbit radius from the scene bounds (octant-0 BVH root).
+        root_min = np.asarray(dev.bvh_packed[0, 0:3])
+        root_max = np.asarray(dev.bvh_packed[0, 3:6])
+        extent = float(np.max(root_max - root_min))
+        center = (root_min + root_max) * 0.5
+        path = orbit_path(radius=0.75 * extent, height=0.35 * extent,
+                          duration=4.0, center=tuple(center))
     cam = Camera(aspect_ratio=config.aspect_ratio)
 
     # Warmup / compile. NOTE: through the axon relay,

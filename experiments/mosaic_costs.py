@@ -1,0 +1,171 @@
+"""Microbenchmark Mosaic primitive costs inside a while-loop kernel:
+scalar VMEM loads, cross-lane reductions, lax.cond branches, vector
+ops — to attribute the traversal kernel's per-iteration fixed cost.
+
+    python experiments/mosaic_costs.py
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vkpt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+ITERS = int(__import__('os').environ.get('ITERS', 20000))
+
+
+def run(kernel_body, name, table, vec):
+    def kernel(tab_ref, vec_ref, out_ref):
+        v = vec_ref[0, :].reshape(vec.shape[1] // 128, 128)
+
+        def body(state):
+            i, acc, vacc = state
+            acc, vacc = kernel_body(tab_ref, i, acc, vacc, v)
+            return i + 1, acc, vacc
+
+        def cond(state):
+            return state[0] < ITERS
+
+        _, acc, vacc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(0.0), v)
+        )
+        out_ref[0, :] = (vacc + acc).reshape(-1)
+
+    @jax.jit
+    def go(table, vec):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, vec.shape[1]), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(table, vec)
+
+    out = go(table, vec)
+    _ = float(out.sum())
+    best = 9e9
+    for _ in range(5):
+        t0 = time.time()
+        out = go(table, vec)
+        _ = float(out.sum())
+        best = min(best, time.time() - t0)
+    cyc = best * 0.94e9 / ITERS  # v5e ~940MHz
+    print(f"{name}: {best*1000:.2f} ms ({cyc:.0f} cyc/iter)", flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.random((4096, 128)).astype(np.float32))
+    vec = jnp.asarray(rng.random((1, 2048)).astype(np.float32))
+
+    def empty(tab, i, acc, vacc, v):
+        return acc + 1.0, vacc
+
+    run(empty, "empty loop", table, vec)
+
+    def loads8(tab, i, acc, vacc, v):
+        r = i & 4095
+        s = tab[r, 0]
+        for k in range(1, 8):
+            s = s + tab[r, k]
+        return acc + s, vacc
+
+    run(loads8, "8 scalar loads (same row)", table, vec)
+
+    def loads64(tab, i, acc, vacc, v):
+        r = i & 4095
+        s = tab[r, 0]
+        for k in range(1, 64):
+            s = s + tab[r, k * 2]
+        return acc + s, vacc
+
+    run(loads64, "64 scalar loads (same row)", table, vec)
+
+    def loads128(tab, i, acc, vacc, v):
+        r = i & 4095
+        s = tab[r, 0]
+        for k in range(1, 128):
+            s = s + tab[r, k]
+        return acc + s, vacc
+
+    run(loads128, "128 scalar loads (same row)", table, vec)
+
+    def vecload(tab, i, acc, vacc, v):
+        r = i & 4095
+        row = tab[r, :]   # (128,) vector load, dynamic sublane
+        return acc, vacc + row.reshape(1, 128)
+
+    run(vecload, "1 vector row load", table, vec)
+
+    def reduce1(tab, i, acc, vacc, v):
+        return acc + jnp.sum(vacc), vacc
+
+    run(reduce1, "1 cross-lane sum (16,128)", table, vec)
+
+    def reduce8(tab, i, acc, vacc, v):
+        s = acc
+        for k in range(8):
+            s = s + jnp.sum(vacc + jnp.float32(k))
+        return s, vacc
+
+    run(reduce8, "8 cross-lane sums (16,128)", table, vec)
+
+    def cond1(tab, i, acc, vacc, v):
+        vacc = jax.lax.cond(i & 7 == 0, lambda a: a + 1.0, lambda a: a,
+                            vacc)
+        return acc, vacc
+
+    run(cond1, "1 lax.cond (vec state, 1/8 taken)", table, vec)
+
+    def cond3(tab, i, acc, vacc, v):
+        for k in range(3):
+            vacc = jax.lax.cond((i & 7) == k, lambda a: a + 1.0,
+                                lambda a: a, vacc)
+        return acc, vacc
+
+    run(cond3, "3 lax.cond (vec state)", table, vec)
+
+    def vec20(tab, i, acc, vacc, v):
+        x = vacc
+        for _ in range(10):
+            x = x * 1.0001 + 0.5
+        return acc, x
+
+    run(vec20, "20 vector ops (16,128)", table, vec)
+
+    def vec320(tab, i, acc, vacc, v):
+        x = vacc
+        for _ in range(160):
+            x = x * 1.0001 + 0.5
+        return acc, x
+
+    run(vec320, "320 vector ops (16,128)", table, vec)
+
+    def walk_scalars(tab, i, acc, vacc, v):
+        r = i & 4095
+        nxt = i
+        for j in range(16):
+            sk = tab[r, j * 8 + 6].astype(jnp.int32)
+            lf = tab[r, j * 8 + 7]
+            on = nxt == i + j
+            succ = jnp.where(lf >= 0, sk, i + j + 1)
+            nxt = jnp.where(on, succ, nxt)
+        return acc + nxt.astype(jnp.float32), vacc
+
+    run(walk_scalars, "walk: 32 loads + 16x selects", table, vec)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,27 @@ def test_gltf_text_with_data_uri(tmp_path, box_glb):
     p.write_text(json.dumps(doc))
     scene = gltf.load(str(p))
     assert scene.primitives[0].triangle_count == 12
+
+
+def test_atrium_scene_loads_and_builds(tmp_path):
+    """Sponza-class stand-in: enclosed interior, multi-material,
+    panel/colonnade geometry; loader + BVH invariants at low detail."""
+    from assets.procedural import make_atrium
+    from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+    from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh
+
+    path = str(tmp_path / "atrium.glb")
+    make_atrium(path, detail=0.15, n_materials=8)
+    scene = gltf.load(path)
+    assert scene.triangle_count > 3000
+    assert len(scene.materials) == 8
+    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=8)
+    assert dev.bvh_rows is not None
+    import numpy as np
+
+    v0 = np.asarray(dev.tri_v0)[: dev.num_triangles]
+    e1 = np.asarray(dev.tri_e1)[: dev.num_triangles]
+    e2 = np.asarray(dev.tri_e2)[: dev.num_triangles]
+    bvh = build_bvh_host(v0, e1, e2, max_leaf_size=8)
+    validate_bvh(bvh, v0[bvh.tri_order], e1[bvh.tri_order],
+                 e2[bvh.tri_order])
