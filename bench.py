@@ -120,6 +120,48 @@ def main() -> int:
                           duration=4.0, center=tuple(center))
     cam = Camera(aspect_ratio=config.aspect_ratio)
 
+    # Convergence mode (BENCH_MODE=spp): time-to-target-spp on a
+    # static camera via the joint progressive batch (BASELINE primary
+    # metric family: spp/sec @ 1080p, time to 1024-spp frame).
+    if os.environ.get("BENCH_MODE") == "spp":
+        target_spp = int(os.environ.get("BENCH_TARGET_SPP", 128))
+        batch = int(os.environ.get("BENCH_BATCH", 16))
+        path.apply(cam, 0.0)
+        # Warm up / compile.
+        sum_img, rays = pipeline.render_batch_sum(cam, 0, batch)
+        _ = float(sum_img.sum()), float(rays)
+        acc = None
+        spp = 0
+        t0 = time.perf_counter()
+        total_rays = 0.0
+        while spp < target_spp:
+            b = min(batch, target_spp - spp)
+            sum_img, rays = pipeline.render_batch_sum(cam, spp, b)
+            acc = sum_img if acc is None else acc + sum_img
+            spp += b
+            total_rays += float(rays)
+        _ = float(acc.sum())  # force completion
+        elapsed = time.perf_counter() - t0
+        spp_s = target_spp / elapsed
+        eq_mrays = spp_s * width * height * bounces / 1e6
+        result = {
+            "metric": "spp_per_sec_1080p",
+            "value": round(spp_s, 3),
+            "unit": "spp/s",
+            "vs_baseline": round(eq_mrays / 200.0, 4),
+            "detail": {
+                "width": width, "height": height, "bounces": bounces,
+                "target_spp": target_spp, "batch": batch,
+                "seconds_to_target": round(elapsed, 2),
+                "triangles": int(dev.num_triangles),
+                "equivalent_mrays_per_sec": round(eq_mrays, 2),
+                "physical_mrays_per_sec": round(
+                    total_rays / elapsed / 1e6, 2),
+            },
+        }
+        print(json.dumps(result))
+        return 0
+
     # Warmup / compile. NOTE: through the axon relay,
     # block_until_ready can return before execution completes, so all
     # timing below forces completion by fetching device scalars.

@@ -124,3 +124,40 @@ def test_russian_roulette_unbiased(request):
     img_a, _ = RenderPipeline(dev, base).render_numpy(cam, frame=0)
     img_b, _ = RenderPipeline(dev, rr).render_numpy(cam, frame=0)
     assert abs(img_a.mean() - img_b.mean()) < 0.05
+
+
+def test_joint_progressive_batch_matches_sequential(columns_glb):
+    """render_frames_joint (shared primary + cross-frame sorted
+    bounces) must equal the sum of individually rendered frames to fp
+    noise, including with Russian roulette (per-frame RNG streams are
+    independent, so vectorizing over frames is exact)."""
+    import jax.numpy as jnp
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+    from vulkan_pathtracer_tpu.render.pipeline import (
+        render_frame,
+        render_frames_joint,
+    )
+
+    scene = gltf.load(columns_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 2, -8], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    kw = dict(num_bounces=3, width=40, height=40, traversal="bvh")
+    B = 3
+    joint, rays_j = render_frames_joint(
+        dev, pos, hor, ver, fwd, jnp.uint32(5), batch=B,
+        russian_roulette=True, **kw,
+    )
+    seq = np.zeros((40, 40, 3), np.float32)
+    for k in range(B):
+        img, _ = render_frame(dev, pos, hor, ver, fwd, jnp.uint32(5 + k),
+                              num_samples=1, russian_roulette=True, **kw)
+        seq = seq + np.asarray(img)
+    np.testing.assert_allclose(np.asarray(joint), seq,
+                               rtol=1e-5, atol=1e-5)
+    # Physical ray count: one shared primary + per-frame bounces.
+    assert float(rays_j) < B * 40 * 40 * 3

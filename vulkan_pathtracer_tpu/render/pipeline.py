@@ -283,6 +283,65 @@ def render_frames_batch(scene: DeviceScene, position, horizontal, vertical,
     return acc, rays
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "num_bounces", "width", "height", "traversal",
+        "russian_roulette", "rr_start_bounce", "sort_secondary",
+    ),
+)
+def render_frames_joint(scene: DeviceScene, position, horizontal,
+                        vertical, forward, frame0, *, batch: int,
+                        num_bounces: int, width: int, height: int,
+                        traversal: str = "auto",
+                        russian_roulette: bool = False,
+                        rr_start_bounce: int = 2,
+                        sort_secondary: bool = True):
+    """Progressive batch, JOINT wavefront (1 spp per frame): the
+    primary hit is traced/shaded once for all ``batch`` frames (the
+    camera is static; frame_count only seeds the RNG), and every
+    bounce level sorts all frames' rays together — packets drawn from
+    a batch-times denser key space stay far more coherent (see
+    render/wavefront.trace_progressive_batch).  Returns
+    (sum_image (H, W, 3), rays_physically_traced)."""
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        trace_progressive_batch,
+    )
+
+    n = height * width
+    origin, direction = generate_rays(
+        position, horizontal, vertical, forward, width, height,
+    )
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
+                  (height, 1)).reshape(-1)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+
+    tile_inv = None
+    if height > TILE_H and width > TILE_W:
+        t_order, t_inv = _tile_order(height, width)
+        t_order = jnp.asarray(t_order)
+        tile_inv = jnp.asarray(t_inv)
+        origin = origin[t_order]
+        direction = direction[t_order]
+        px = px[t_order]
+        py = py[t_order]
+
+    frames = frame0 + jnp.arange(batch, dtype=jnp.uint32)
+    seed_x, seed_y = jax.vmap(
+        lambda f: rng.prng_seed(px, py, f)
+    )(frames)
+
+    color_sum, rays = trace_progressive_batch(
+        scene, origin, direction, seed_x, seed_y,
+        batch=batch, num_bounces=num_bounces, traversal=traversal,
+        russian_roulette=russian_roulette,
+        rr_start_bounce=rr_start_bounce, sort_secondary=sort_secondary,
+    )
+    if tile_inv is not None:
+        color_sum = color_sum[tile_inv]
+    return color_sum.reshape(height, width, 3), rays
+
+
 class RenderPipeline:
     """Holds the scene + config and renders frames (the analog of
     RaytracingPass + RayTracingPipeline)."""
@@ -326,10 +385,25 @@ class RenderPipeline:
 
     def render_batch_sum(self, camera: Camera, frame0: int, batch: int):
         """Sum of `batch` consecutive progressive frames in one
-        dispatch (see render_frames_batch)."""
+        dispatch.  At 1 spp the joint wavefront path is used (shared
+        primary hit + cross-frame sorted bounces); multi-spp falls back
+        to the sequential device-side scan."""
         position, horizontal, vertical, forward = (
             jnp.asarray(v) for v in camera.push_constants()
         )
+        if self.config.num_samples == 1 and batch > 1:
+            return render_frames_joint(
+                self.scene, position, horizontal, vertical, forward,
+                jnp.uint32(frame0),
+                batch=batch,
+                num_bounces=self.config.num_bounces,
+                width=self.width,
+                height=self.height,
+                traversal=self._traversal,
+                russian_roulette=self.config.russian_roulette,
+                rr_start_bounce=self.config.rr_start_bounce,
+                sort_secondary=self.config.sort_secondary,
+            )
         return render_frames_batch(
             self.scene, position, horizontal, vertical, forward,
             jnp.uint32(frame0),

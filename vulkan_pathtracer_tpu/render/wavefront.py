@@ -314,3 +314,307 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
             alive = jnp.zeros_like(alive)
 
     return color, seed_x, seed_y, rays_traced
+
+
+def _bounce_sort_key(scene, origin, direction, alive):
+    """(direction octant, origin Morton) sort key; dead lanes to the
+    end (same layout as _closest_hit_sorted's default key)."""
+    octant = (
+        (direction[:, 0] < 0).astype(jnp.uint32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
+    )
+    if scene.has_bvh:
+        lo = scene.bvh_packed[0, 0:3]
+        hi = scene.bvh_packed[0, 3:6]
+        ext = jnp.maximum(hi - lo, 1e-9)
+        q = jnp.clip((origin - lo) / ext * 1023.0, 0.0, 1023.0).astype(
+            jnp.uint32
+        )
+        morton = (
+            _interleave10(q[:, 0])
+            | (_interleave10(q[:, 1]) << 1)
+            | (_interleave10(q[:, 2]) << 2)
+        )
+        key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
+    else:
+        key = octant
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
+def _shade_and_extend(scene, hit, origin, direction, atten, color,
+                      seed_x, seed_y, alive, *, last: bool,
+                      rr: bool):
+    """One bounce's shading + next-ray generation on a lane set —
+    identical math/draw order to trace_sample's loop body."""
+    missed = alive & (hit.t >= MISS_T)
+    did_hit = alive & ~missed
+    color = color + jnp.where(
+        missed[:, None], atten * sky_color(direction), 0.0
+    )
+    tri_data = get_triangle_data(scene, hit)
+    mat = get_material_data(scene, tri_data)
+    color = color + jnp.where(
+        did_hit[:, None], mat.emissive * EMISSIVE_SCALE * atten, 0.0
+    )
+    if last:
+        return origin, direction, atten, color, seed_x, seed_y, \
+            jnp.zeros_like(alive)
+
+    out_dir = -direction
+    sh = ShadingInfo(
+        normal=mat.normal,
+        out_dir=out_dir,
+        lambert_out=dot(mat.normal, out_dir),
+        fresnel_0=mix(jnp.float32(F0_DIELECTRIC), mat.albedo[:, :3],
+                      mat.metallic[:, None]),
+        diffuse_albedo=mat.albedo[:, :3]
+        - mat.metallic[:, None] * mat.albedo[:, :3],
+        roughness=jnp.maximum(ROUGHNESS_FLOOR, mat.roughness),
+    )
+    nsx, nsy, rx, ry = rng.pcg2d(seed_x, seed_y)
+    seed_x = jnp.where(did_hit, nsx, seed_x)
+    seed_y = jnp.where(did_hit, nsy, seed_y)
+    new_origin = (
+        origin + hit.t[:, None] * direction
+        + tri_data.geometry_normal * ORIGIN_OFFSET
+    )
+    new_direction = sample_brdf(sh, rx, ry)
+    density = get_brdf_density(sh, new_direction)
+    lambert_in = dot(sh.normal, new_direction)
+    weight = (
+        brdf(sh, new_direction) * lambert_in[:, None]
+        / jnp.maximum(density, jnp.float32(1e-30))[:, None]
+    )
+    survive = did_hit & (lambert_in > 0.0)
+    atten = jnp.where(survive[:, None], atten * weight, atten)
+    origin = jnp.where(did_hit[:, None], new_origin, origin)
+    direction = jnp.where(did_hit[:, None], new_direction, direction)
+    alive = survive
+    if rr:
+        p_survive = jnp.clip(jnp.max(atten, axis=-1), 0.05, 1.0)
+        nsx, nsy, rrx, _ = rng.pcg2d(seed_x, seed_y)
+        seed_x = jnp.where(alive, nsx, seed_x)
+        seed_y = jnp.where(alive, nsy, seed_y)
+        rr_kill = rrx >= p_survive
+        atten = jnp.where((alive & ~rr_kill)[:, None],
+                          atten / p_survive[:, None], atten)
+        alive = alive & ~rr_kill
+    return origin, direction, atten, color, seed_x, seed_y, alive
+
+
+# Packed wavefront state columns ((M, 16) f32): origin, direction,
+# attenuation, accumulated color, pcg2d seeds (bitcast), alive flag,
+# original lane id (bitcast).  One row gather re-sorts the whole
+# wavefront per bounce.
+_ST_O = slice(0, 3)
+_ST_D = slice(3, 6)
+_ST_ATT = slice(6, 9)
+_ST_COL = slice(9, 12)
+_ST_SX = 12
+_ST_SY = 13
+_ST_ALIVE = 14
+_ST_LANE = 15
+
+WAVEFRONT_CHUNK = 1 << 20  # rays per chunked dispatch (bounds HBM temps)
+
+
+def _pack_state(o, d, atten, color, sx, sy, alive, lane):
+    import jax
+
+    return jnp.concatenate(
+        [
+            o, d, atten, color,
+            jax.lax.bitcast_convert_type(sx, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(sy, jnp.float32)[:, None],
+            alive.astype(jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(lane, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _unpack_state(st):
+    import jax
+
+    return (
+        st[:, _ST_O], st[:, _ST_D], st[:, _ST_ATT], st[:, _ST_COL],
+        jax.lax.bitcast_convert_type(st[:, _ST_SX], jnp.uint32),
+        jax.lax.bitcast_convert_type(st[:, _ST_SY], jnp.uint32),
+        st[:, _ST_ALIVE] > 0.5,
+        jax.lax.bitcast_convert_type(st[:, _ST_LANE], jnp.uint32),
+    )
+
+
+def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
+                            batch: int, num_bounces: int,
+                            traversal: str = "auto",
+                            russian_roulette: bool = False,
+                            rr_start_bounce: int = 2,
+                            sort_secondary: bool = True,
+                            chunk: int = WAVEFRONT_CHUNK):
+    """Trace ``batch`` progressive frames of the SAME camera jointly as
+    one persistent wavefront.
+
+    Structure (SURVEY.md §7 M3 made real):
+
+    1. The primary hit is camera-determined and identical across
+       frames (frame_count only seeds the RNG, ray_gen.rgen:41) —
+       traced and shaded ONCE per batch.
+    2. All frames' bounce-j rays live in one packed (batch*N, 16)
+       state matrix, globally re-sorted per bounce by (octant, origin
+       Morton) with dead rays at the end: packets drawn from a
+       batch-times denser key space stay far more coherent, and
+       union-visit sharing saturates (ROADMAP round-2 findings).
+    3. The sorted wavefront is traversed+shaded in fixed-size chunks
+       under lax.map (bounds peak HBM); chunks whose rays are all dead
+       skip traversal and shading entirely via lax.cond — true
+       wavefront compaction at chunk granularity with zero extra data
+       movement.
+
+    Exactness: per-frame pcg2d streams are independent (frame index
+    seeds them), so vectorizing over frames preserves every stream
+    bit-exactly; sorting and chunking are scheduling-only.  Requires
+    1 spp (cross-SAMPLE batching would break the per-pixel stream's
+    sequential draw order).
+
+    ``seed_x/seed_y``: (batch, N) uint32.  Returns
+    (color_sum (N, 3) summed over frames, physical rays traced).
+    """
+    import jax
+
+    n = origin.shape[0]
+    b = batch
+    m = b * n
+
+    rays_traced = jnp.float32(n)
+
+    # ---- bounce 0: shared across frames ----
+    hit0 = _closest_hit(scene, origin, direction, None, traversal)
+    missed0 = hit0.t >= MISS_T
+    did0 = ~missed0
+    tri0 = get_triangle_data(scene, hit0)
+    mat0 = get_material_data(scene, tri0)
+
+    base = jnp.where(missed0[:, None], sky_color(direction), 0.0)
+    base = base + jnp.where(
+        did0[:, None], mat0.emissive * EMISSIVE_SCALE, 0.0
+    )
+    color_sum = jnp.float32(float(b)) * base  # atten == 1 at bounce 0
+
+    if num_bounces == 1:
+        return color_sum, rays_traced
+
+    out_dir0 = -direction
+    shading0 = ShadingInfo(
+        normal=mat0.normal,
+        out_dir=out_dir0,
+        lambert_out=dot(mat0.normal, out_dir0),
+        fresnel_0=mix(jnp.float32(F0_DIELECTRIC), mat0.albedo[:, :3],
+                      mat0.metallic[:, None]),
+        diffuse_albedo=mat0.albedo[:, :3]
+        - mat0.metallic[:, None] * mat0.albedo[:, :3],
+        roughness=jnp.maximum(ROUGHNESS_FLOOR, mat0.roughness),
+    )
+
+    def tile_b(x):
+        return jnp.broadcast_to(
+            x[None], (b,) + x.shape
+        ).reshape((b * n,) + x.shape[1:])
+
+    sh = ShadingInfo(*(tile_b(f) for f in shading0))
+    sx = seed_x.reshape(-1)
+    sy = seed_y.reshape(-1)
+    did0_b = tile_b(did0)
+
+    nsx, nsy, rx, ry = rng.pcg2d(sx, sy)
+    sx = jnp.where(did0_b, nsx, sx)
+    sy = jnp.where(did0_b, nsy, sy)
+
+    new_origin0 = (
+        origin + hit0.t[:, None] * direction
+        + tri0.geometry_normal * ORIGIN_OFFSET
+    )
+    o_b = tile_b(new_origin0)
+    d_b = sample_brdf(sh, rx, ry)
+    density = get_brdf_density(sh, d_b)
+    lambert_in = dot(sh.normal, d_b)
+    weight = (
+        brdf(sh, d_b) * lambert_in[:, None]
+        / jnp.maximum(density, jnp.float32(1e-30))[:, None]
+    )
+    alive = did0_b & (lambert_in > 0.0)
+    atten = jnp.where(alive[:, None], weight, 1.0)
+    o_b = jnp.where(did0_b[:, None], o_b, tile_b(origin))
+    d_b = jnp.where(did0_b[:, None], d_b, tile_b(direction))
+    if russian_roulette and 1 >= rr_start_bounce:
+        p_survive = jnp.clip(jnp.max(atten, axis=-1), 0.05, 1.0)
+        nsx, nsy, rrx, _ = rng.pcg2d(sx, sy)
+        sx = jnp.where(alive, nsx, sx)
+        sy = jnp.where(alive, nsy, sy)
+        rr_kill = rrx >= p_survive
+        atten = jnp.where((alive & ~rr_kill)[:, None],
+                          atten / p_survive[:, None], atten)
+        alive = alive & ~rr_kill
+
+    lane = jnp.arange(m, dtype=jnp.uint32)
+    color0 = jnp.zeros((m, 3), jnp.float32)
+    state = _pack_state(o_b, d_b, atten, color0, sx, sy, alive, lane)
+
+    # Pad to a chunk multiple with dead lanes (lane 0 accumulates only
+    # zeros from them).
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        state = jnp.pad(state, ((0, pad), (0, 0)))
+    n_chunks = state.shape[0] // chunk
+
+    def chunk_fn(last: bool, rr: bool):
+        def fn(st):
+            o, d, atten, color, csx, csy, c_alive, c_lane = \
+                _unpack_state(st)
+
+            def work(args):
+                o, d, atten, color, csx, csy, c_alive = args
+                hit = _closest_hit(scene, o, d, c_alive, traversal)
+                o2, d2, att2, col2, sx2, sy2, al2 = _shade_and_extend(
+                    scene, hit, o, d, atten, color, csx, csy, c_alive,
+                    last=last, rr=rr,
+                )
+                return o2, d2, att2, col2, sx2, sy2, al2
+
+            def skip(args):
+                o, d, atten, color, csx, csy, c_alive = args
+                return (o, d, atten, color, csx, csy,
+                        jnp.zeros_like(c_alive))
+
+            count = jnp.sum(c_alive.astype(jnp.float32))
+            o, d, atten, color, csx, csy, c_alive = jax.lax.cond(
+                count > 0, work, skip,
+                (o, d, atten, color, csx, csy, c_alive),
+            )
+            return _pack_state(o, d, atten, color, csx, csy, c_alive,
+                               c_lane), count
+
+        return fn
+
+    for j in range(1, num_bounces):
+        o, d, _, _, _, _, alive, _ = _unpack_state(state)
+        if sort_secondary:
+            key = _bounce_sort_key(scene, o, d, alive)
+            order = jnp.argsort(key)
+            state = state[order]
+        last = j == num_bounces - 1
+        rr = russian_roulette and (j + 1) >= rr_start_bounce
+        state, counts = jax.lax.map(
+            chunk_fn(last, rr), state.reshape(n_chunks, chunk, 16)
+        )
+        state = state.reshape(-1, 16)
+        rays_traced = rays_traced + jnp.sum(counts)
+
+    _, _, _, color, _, _, _, lane = _unpack_state(state)
+    pix = (lane % jnp.uint32(n)).astype(jnp.int32)
+    color_sum = color_sum + jnp.zeros((n, 3), jnp.float32).at[pix].add(
+        color
+    )
+    return color_sum, rays_traced
