@@ -61,7 +61,20 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
-    dev = build_device_scene(scene, build_bvh=(config.traversal != "brute"))
+    if getattr(args, "instanced", False):
+        from vulkan_pathtracer_tpu.models.instanced_scene import (
+            build_instanced_scene,
+        )
+
+        dev = build_instanced_scene(scene, max_leaf_size=8)
+        print(
+            f"two-level BVH: {dev.num_triangles} shared triangles, "
+            f"{dev.inst_inv.shape[0]} instances", file=sys.stderr,
+        )
+    else:
+        dev = build_device_scene(
+            scene, build_bvh=(config.traversal != "brute")
+        )
     if config.enable_validation and dev.has_bvh:
         from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh
 

@@ -130,11 +130,30 @@ class DeviceScene:
     # tile padding, so all 8 octants stay resident.
     bvh_rows: Optional[jnp.ndarray] = None     # (orders*R, 128) f32
 
+    # Two-level instancing (models/instanced_scene.py).  When
+    # ``instanced`` is set, bvh leaf values pack (instance << mb_bits |
+    # global mesh leaf block) and triangle arrays are OBJECT space,
+    # shared by all instances.
+    inst_inv: Optional[jnp.ndarray] = None       # (I, 16) invA|invT|detsign
+    inst_nrm: Optional[jnp.ndarray] = None       # (I, 9) normal matrix
+    asm_inst: Optional[jnp.ndarray] = None       # (orders*Nn,) int32, -1=top
+    asm_src: Optional[jnp.ndarray] = None        # (orders*Nn,) mesh-box idx
+    mesh_obj_bmin: Optional[jnp.ndarray] = None  # per-octant mesh node boxes
+    mesh_obj_bmax: Optional[jnp.ndarray] = None
+    inst_root_obj: Optional[jnp.ndarray] = None  # (I, 6) mesh root obj box
+    top_left: Optional[jnp.ndarray] = None       # top tree (build order)
+    top_right: Optional[jnp.ndarray] = None
+    top_leaf_inst: Optional[jnp.ndarray] = None  # (Ntop,) instance | -1
+    top_asm_pos: Optional[jnp.ndarray] = None    # (orders, Ntop)
+
     num_triangles: int = 0  # un-padded triangle count (static aux)
     bvh_depth: int = 0      # tree depth (static aux, bounds refit sweeps)
     max_leaf_size: int = 4  # static aux (leaf unroll factor)
     bvh_orders: int = 1     # 1 or 8 direction-octant linearizations
     has_textures: bool = False  # static: texel pool beyond the dummy
+    instanced: bool = False  # static: two-level packed leaf values
+    mb_bits: int = 0         # static: leaf-value mesh-block field width
+    top_depth: int = 0       # static: TLAS depth (bounds refit sweeps)
 
     # -- pytree plumbing -----------------------------------------------------
     _ARRAY_FIELDS = (
@@ -149,20 +168,25 @@ class DeviceScene:
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_rows",
+        "inst_inv", "inst_nrm", "asm_inst", "asm_src",
+        "mesh_obj_bmin", "mesh_obj_bmax", "inst_root_obj",
+        "top_left", "top_right", "top_leaf_inst", "top_asm_pos",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)
         return children, (self.num_triangles, self.bvh_depth,
                           self.max_leaf_size, self.bvh_orders,
-                          self.has_textures)
+                          self.has_textures, self.instanced,
+                          self.mb_bits, self.top_depth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kwargs = dict(zip(cls._ARRAY_FIELDS, children))
         return cls(num_triangles=aux[0], bvh_depth=aux[1],
                    max_leaf_size=aux[2], bvh_orders=aux[3],
-                   has_textures=aux[4], **kwargs)
+                   has_textures=aux[4], instanced=aux[5],
+                   mb_bits=aux[6], top_depth=aux[7], **kwargs)
 
     @property
     def has_bvh(self) -> bool:

@@ -40,10 +40,15 @@ class Hit(NamedTuple):
     v: jnp.ndarray        # (N,) f32
 
 
-def moller_trumbore(origin, direction, v0, e1, e2, tmin, t_limit):
+def moller_trumbore(origin, direction, v0, e1, e2, tmin, t_limit,
+                    det_sign=None):
     """Batched MT with backface culling.
 
     origin/direction: (..., 3); v0/e1/e2: broadcast-compatible (..., 3).
+    ``det_sign`` (optional, broadcastable): multiplies the determinant
+    in the cull test only — instanced object-space intersection keeps
+    the reference's WORLD-winding cull under mirroring transforms
+    (sign(det world) = sign(det object) * sign(det M)).
     Returns (hit_mask, t, u, v) with shapes (...,).
     """
     px = direction[..., 1] * e2[..., 2] - direction[..., 2] * e2[..., 1]
@@ -51,7 +56,10 @@ def moller_trumbore(origin, direction, v0, e1, e2, tmin, t_limit):
     pz = direction[..., 0] * e2[..., 1] - direction[..., 1] * e2[..., 0]
     det = e1[..., 0] * px + e1[..., 1] * py + e1[..., 2] * pz
     # Backface cull: front faces have det > 0 (CCW winding).
-    front = det > 0.0
+    if det_sign is not None:
+        front = det * det_sign > 0.0
+    else:
+        front = det > 0.0
     inv_det = 1.0 / jnp.where(front, det, 1.0)
 
     tx = origin[..., 0] - v0[..., 0]

@@ -658,11 +658,17 @@ DENSE_PACKET = int(_os.environ.get("VKPT_DENSE_PACKET", 2048))
 
 
 def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
-                       packet: int, C: int, tmin: float):
+                       packet: int, C: int, tmin: float,
+                       instanced: bool = False, mb_bits: int = 0):
     sub = packet // _LANE
     npr = NODES_PER_ROW
 
-    def kernel(octant_ref, rows_ref, tris_ref, rays_ref, out_ref):
+    def kernel(octant_ref, rows_ref, tris_ref, *rest):
+        if instanced:
+            inst_ref, rays_ref, out_ref = rest
+        else:
+            inst_ref = None
+            rays_ref, out_ref = rest
         oct_ = octant_ref[pl.program_id(0)]
         base_row = oct_ * rows_per_oct
 
@@ -793,7 +799,29 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                     def leaf_case(args, leaf_i=leaf_i):
                         t_best, tri_best, u_best, v_best = args
                         ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
-                        trow = leaf_i // block
+                        if instanced:
+                            # Packed leaf: (inst << mb_bits | global
+                            # mesh block).  Transform the packet into
+                            # object space (world t preserved: the
+                            # object direction stays unnormalized);
+                            # cull on world winding via det_sign.
+                            inst = leaf_i >> mb_bits
+                            trow = leaf_i & ((1 << mb_bits) - 1)
+                            m = [inst_ref[inst, f] for f in range(13)]
+                            nox = m[0] * ox + m[1] * oy + m[2] * oz + m[9]
+                            noy = m[3] * ox + m[4] * oy + m[5] * oz + m[10]
+                            noz = m[6] * ox + m[7] * oy + m[8] * oz + m[11]
+                            ndx = m[0] * dx + m[1] * dy + m[2] * dz
+                            ndy = m[3] * dx + m[4] * dy + m[5] * dz
+                            ndz = m[6] * dx + m[7] * dy + m[8] * dz
+                            ox, oy, oz = nox, noy, noz
+                            dx, dy, dz = ndx, ndy, ndz
+                            det_sign = m[12]
+                            tri_base = leaf_i * block
+                        else:
+                            trow = leaf_i // block
+                            det_sign = None
+                            tri_base = leaf_i
                         for k in range(block):
                             base = k * 9
                             v0x = tris_ref[trow, base + 0]
@@ -809,7 +837,10 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                             py = dz * e2x - dx * e2z
                             pz = dx * e2y - dy * e2x
                             det = e1x * px + e1y * py + e1z * pz
-                            front = det > 0.0
+                            if det_sign is not None:
+                                front = det * det_sign > 0.0
+                            else:
+                                front = det > 0.0
                             inv_det = 1.0 / jnp.where(front, det, 1.0)
                             tx = ox - v0x
                             ty = oy - v0y
@@ -825,7 +856,8 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                                    & (u + v <= 1.0) & (t > tmin)
                                    & (t < t_hi))
                             t_best = jnp.where(hit, t, t_best)
-                            tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                            tri_best = jnp.where(hit, tri_base + k,
+                                                 tri_best)
                             u_best = jnp.where(hit, u, u_best)
                             v_best = jnp.where(hit, v, v_best)
                         return t_best, tri_best, u_best, v_best
@@ -857,32 +889,45 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("orders", "interpret"))
-def _dense_traverse(rows, tris, rays, octants, *, orders=8,
-                    interpret=False):
+@functools.partial(jax.jit, static_argnames=("orders", "interpret",
+                                             "mb_bits"))
+def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
+                    orders=8, interpret=False, mb_bits=0):
     """rows: (orders*R, 128) f32 dense node rows; tris: (n_leaves,
-    block*9) f32; rays: (G, C, 12, PACKET) f32; octants: (G,) int32.
-    Returns (G, C, 4, PACKET) f32."""
+    block*9) f32; rays: (G, C, 12, PACKET) f32; octants: (G,) int32;
+    inst_inv: optional (I, 16) instance inverse transforms (two-level
+    scenes).  Returns (G, C, 4, PACKET) f32."""
     total_rows = rows.shape[0]
     rows_per_oct = total_rows // orders
     n_nodes = rows_per_oct * NODES_PER_ROW  # includes exit-padding nodes
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, C, _, packet = rays.shape
+    instanced = inst_inv is not None
 
+    in_specs = [
+        pl.BlockSpec((total_rows, 8 * NODES_PER_ROW),
+                     lambda i, octs: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [octants, rows, tris]
+    if instanced:
+        in_specs.append(
+            pl.BlockSpec(inst_inv.shape, lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(inst_inv)
+    in_specs.append(
+        pl.BlockSpec((1, C, 12, packet), lambda i, octs: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(rays)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((total_rows, 8 * NODES_PER_ROW),
-                         lambda i, octs: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 12, packet),
-                         lambda i, octs: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, C, 4, packet),
                                lambda i, octs: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -891,8 +936,11 @@ def _dense_traverse(rows, tris, rays, octants, *, orders=8,
     # id >= n_nodes as done; using the padded count keeps the kernel
     # honest for rays that finish on a padding node.
     kernel = _make_dense_kernel(n_nodes, rows_per_oct, block, packet, C,
-                                TMIN)
+                                TMIN, instanced=instanced,
+                                mb_bits=mb_bits)
     need = total_rows * 512 + n_leaves * 512 + 8 * 1024 * 1024
+    if instanced:
+        need += inst_inv.shape[0] * 512
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -900,7 +948,7 @@ def _dense_traverse(rows, tris, rays, octants, *, orders=8,
         out_shape=jax.ShapeDtypeStruct((g, C, 4, packet), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(octants, rows, tris, rays)
+    )(*args)
 
 
 def pallas_dense_closest_hit(scene, origin, direction, active=None,
@@ -949,9 +997,16 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
 
     group_oct = jnp.pad(octant, (0, pad)).reshape(n_groups, group)[:, 0]
 
-    out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
-                          group_oct, orders=scene.bvh_orders,
-                          interpret=interpret)
+    if getattr(scene, "instanced", False):
+        out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
+                              group_oct, scene.inst_inv,
+                              orders=scene.bvh_orders,
+                              interpret=interpret,
+                              mb_bits=scene.mb_bits)
+    else:
+        out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
+                              group_oct, orders=scene.bvh_orders,
+                              interpret=interpret)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)

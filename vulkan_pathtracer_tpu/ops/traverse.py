@@ -138,7 +138,43 @@ def bvh_closest_hit(scene, origin, direction, active=None,
         is_leaf = leaf_first >= 0
         do_leaf = box_hit & is_leaf
 
-        if use_packed:
+        if use_packed and getattr(scene, "instanced", False):
+            # Two-level leaf: value packs (instance << mb_bits | global
+            # mesh leaf block).  Transform the ray into object space
+            # (affine, direction unnormalized => world t preserved) and
+            # cull on world winding via det_sign.
+            mb_mask = (1 << scene.mb_bits) - 1
+            block_idx = jnp.where(
+                do_leaf, jnp.minimum(leaf_first & mb_mask, n_blocks - 1),
+                0,
+            )
+            inst = jnp.where(do_leaf, leaf_first >> scene.mb_bits, 0)
+            inv_rows = jnp.take(scene.inst_inv, inst, axis=0)  # (N, 16)
+            ia = inv_rows[:, 0:9].reshape(-1, 3, 3)
+            it = inv_rows[:, 9:12]
+            det_sign = inv_rows[:, 12]
+            o_obj = jnp.einsum("njk,nk->nj", ia, origin) + it
+            d_obj = jnp.einsum("njk,nk->nj", ia, direction)
+            rows = jnp.take(scene.tri_blocks, block_idx, axis=0)
+            t_lim = jnp.minimum(t_best, jnp.float32(tmax))
+            for k in range(max_leaf_size):
+                tri9 = rows[:, k * 9:(k + 1) * 9]
+                hit, t, u, v = moller_trumbore(
+                    o_obj, d_obj,
+                    tri9[:, 0:3], tri9[:, 3:6], tri9[:, 6:9],
+                    tmin, t_lim, det_sign=det_sign,
+                )
+                take = do_leaf & hit & (t < t_best)
+                t_best = jnp.where(take, t, t_best)
+                tri_best = jnp.where(
+                    take,
+                    leaf_first * jnp.int32(max_leaf_size)
+                    + jnp.int32(k),
+                    tri_best,
+                )
+                u_best = jnp.where(take, u, u_best)
+                v_best = jnp.where(take, v, v_best)
+        elif use_packed:
             # ONE row gather for the whole (padded, degenerate-safe)
             # triangle block: [tri0(v0,e1,e2) .. tri3(...)], 9 f32 each.
             block_idx = jnp.where(

@@ -55,6 +55,49 @@ def get_triangle_data(scene, hit) -> TriangleData:
     w2 = hit.v
     w0 = 1.0 - w1 - w2
 
+    if getattr(scene, "instanced", False):
+        # Two-level hit ids: tri = packed(inst << mb_bits | block)*B+k.
+        # Attribute rows are OBJECT space, shared across instances;
+        # interpolate first (linear), then transform by the instance
+        # normal matrix inv(A) — same row-vector semantics as the flat
+        # bake (triangle.glsl:79-97), equal up to f32 rounding.
+        block = scene.max_leaf_size
+        vblock = tri // block
+        k = tri - vblock * block
+        inst = vblock >> scene.mb_bits
+        mb = vblock & ((1 << scene.mb_bits) - 1)
+        mesh_tri = mb * block + k
+        row = jnp.take(scene.tri_attr, mesh_tri, axis=0)  # (N, 34)
+        nm = jnp.take(scene.inst_nrm, inst, axis=0).reshape(-1, 3, 3)
+
+        def xform(v):
+            return jnp.einsum("njk,nk->nj", nm, v)
+
+        w0e = w0[:, None]
+        w1e = w1[:, None]
+        w2e = w2[:, None]
+        normal = normalize(xform(
+            row[:, 0:3] * w0e + row[:, 3:6] * w1e + row[:, 6:9] * w2e
+        ))
+        tangent4 = (
+            row[:, 9:13] * w0e + row[:, 13:17] * w1e + row[:, 17:21] * w2e
+        )
+        tangent = jnp.concatenate(
+            [normalize(xform(tangent4[:, :3])), tangent4[:, 3:4]], axis=-1
+        )
+        uv = row[:, 21:23] * w0e + row[:, 23:25] * w1e + row[:, 25:27] * w2e
+        geometry_normal = normalize(xform(row[:, 27:30]))
+        ids = jax.lax.bitcast_convert_type(row[:, 30:33], jnp.int32)
+        return TriangleData(
+            uv=uv,
+            normal=normal,
+            tangent=tangent,
+            geometry_normal=geometry_normal,
+            material_index=ids[:, 0],
+            primitive_index=ids[:, 1],
+            triangle_index=ids[:, 2],
+        )
+
     if getattr(scene, "tri_attr", None) is not None:
         row = jnp.take(scene.tri_attr, tri, axis=0)  # (N, 34)
         w0e = w0[:, None]

@@ -66,6 +66,31 @@ F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 
 def _closest_hit(scene, origin, direction, active, traversal: str,
                  seed=None):
+    if getattr(scene, "instanced", False):
+        # Two-level scenes: packed leaf values need the instanced leaf
+        # decode — dense Pallas kernel on TPU, XLA traversal otherwise
+        # (brute force / packet / wide kernels are not instance-aware).
+        import jax
+
+        from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+            dense_fits_vmem,
+            pallas_dense_closest_hit,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        if (traversal in ("pallas", "auto") and on_tpu
+                and dense_fits_vmem(scene)):
+            return pallas_dense_closest_hit(
+                scene, origin, direction, active, interpret=False,
+                seed=seed,
+            )
+        if traversal == "pallas" and dense_fits_vmem(scene):
+            return pallas_dense_closest_hit(
+                scene, origin, direction, active, interpret=True,
+                seed=seed,
+            )
+        return bvh_closest_hit(scene, origin, direction, active,
+                               seed=seed)
     if traversal == "brute" or (traversal == "auto" and not scene.has_bvh):
         return brute_force_closest_hit(scene, origin, direction, active)
     if traversal in ("pallas", "pallas8", "pallas_packet", "auto"):

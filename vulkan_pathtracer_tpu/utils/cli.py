@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "bvh", "brute", "pallas",
                             "pallas_packet", "pallas8"],
                    default="auto")
+    p.add_argument("--instanced", action="store_true",
+                   help="two-level BVH: per-mesh BLAS + TLAS, geometry "
+                        "stored once (Tlas.zig semantics); best for "
+                        "instance-heavy / animated scenes")
     p.add_argument("--devices", type=int, default=1,
                    help="shard the framebuffer across this many devices")
     p.add_argument("--checkpoint", type=str, default="",
