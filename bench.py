@@ -195,8 +195,49 @@ def main() -> int:
             "triangles": int(dev.num_triangles),
             "fps": round(fps, 3),
             "frame_ms": round(1000.0 * elapsed / frames, 2),
+            "scene": scene_kind,
         },
     }
+
+    # Round-1-comparable sidecar: the old 56k-tri open columns headline
+    # (the default scene moved to the honest Sponza-class atrium, which
+    # is a much heavier secondary-bounce workload — without this the
+    # cross-round numbers aren't apples-to-apples).  BENCH_COMPARE=0
+    # disables.
+    if (scene_kind == "atrium"
+            and os.environ.get("BENCH_COMPARE", "1") != "0"):
+        cmp_path = os.path.join(tempfile.gettempdir(),
+                                "bench_columns_14_24.glb")
+        if not os.path.exists(cmp_path):
+            make_columns(cmp_path, grid=14, segments=24, n_materials=32)
+        cscene = gltf.load(cmp_path)
+        cdev = build_device_scene(cscene, build_bvh=True,
+                                  max_leaf_size=max_leaf)
+        cpipe = RenderPipeline(cdev, config)
+        root_min = np.asarray(cdev.bvh_packed[0, 0:3])
+        root_max = np.asarray(cdev.bvh_packed[0, 3:6])
+        extent = float(np.max(root_max - root_min))
+        center = (root_min + root_max) * 0.5
+        cpath = orbit_path(radius=0.75 * extent, height=0.35 * extent,
+                           duration=4.0, center=tuple(center))
+        cpath.apply(cam, 0.0)
+        image, rays = cpipe.render(cam, frame=0)
+        _ = float(image.sum()), float(rays)
+        t0 = time.perf_counter()
+        csums = []
+        crays = []
+        for f in range(2):
+            cpath.apply(cam, 2.0 * f)
+            image, rays = cpipe.render(cam, frame=f + 1)
+            csums.append(image.sum())
+            crays.append(rays)
+        ctotal = float(sum(float(r) for r in crays))
+        _ = [float(c) for c in csums]
+        celapsed = time.perf_counter() - t0
+        result["detail"]["columns56k_mrays_per_sec"] = round(
+            ctotal / celapsed / 1e6, 2
+        )
+
     print(json.dumps(result))
     return 0
 
