@@ -84,6 +84,11 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
 
         inv = [[sinv(comps[c][3]), sinv(comps[c][4]), sinv(comps[c][5])]
                for c in range(C)]
+        # Hoisted per-ray slab terms: t_plane = b * inv - o*inv (one
+        # fma per plane instead of sub+mul).
+        oinv = [[comps[c][0] * inv[c][0],
+                 comps[c][1] * inv[c][1],
+                 comps[c][2] * inv[c][2]] for c in range(C)]
 
         # Seeded initial state (channels 7-10: t, bitcast tri, u, v) —
         # a valid prior hit tightens t_best from the first visit.
@@ -117,12 +122,13 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 leaf_i = leaf_f.astype(jnp.int32)
                 ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
                 ix, iy, iz = inv[c]
-                tx0 = (b[0] - ox) * ix
-                tx1 = (b[3] - ox) * ix
-                ty0 = (b[1] - oy) * iy
-                ty1 = (b[4] - oy) * iy
-                tz0 = (b[2] - oz) * iz
-                tz1 = (b[5] - oz) * iz
+                oxi, oyi, ozi = oinv[c]
+                tx0 = b[0] * ix - oxi
+                tx1 = b[3] * ix - oxi
+                ty0 = b[1] * iy - oyi
+                ty1 = b[4] * iy - oyi
+                tz0 = b[2] * iz - ozi
+                tz1 = b[5] * iz - ozi
                 tn = jnp.maximum(
                     jnp.maximum(jnp.minimum(tx0, tx1),
                                 jnp.minimum(ty0, ty1)),
@@ -137,7 +143,13 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 box_hit = tn <= tf
                 is_leaf = leaf_f >= 0.0
 
-                def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
+                def leaf_case(args, c=c, leaf_i=leaf_i):
+                    # No per-lane box mask: any Moller-Trumbore hit
+                    # with t in (tmin, min(t_best, tmax)) is a true
+                    # closest-hit candidate whether or not the slab
+                    # test passed (a triangle hit implies its leaf AABB
+                    # is hit), and dropping the mask removes the
+                    # box_hit vreg dependency from the branch.
                     t_best, tri_best, u_best, v_best = args
                     ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
                     row = leaf_i // block
@@ -170,7 +182,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                         t_lim = jnp.minimum(t_best, tl)
                         hit = (front & (u >= 0.0) & (v >= 0.0)
                                & (u + v <= 1.0) & (t > tmin)
-                               & (t < t_lim) & box_hit)
+                               & (t < t_lim))
                         t_best = jnp.where(hit, t, t_best)
                         tri_best = jnp.where(hit, leaf_i + k, tri_best)
                         u_best = jnp.where(hit, u, u_best)
