@@ -284,7 +284,8 @@ def _seed_channels(n, seed):
 
 
 def pallas_closest_hit(scene, origin, direction, active=None,
-                       interpret=False, seed=None) -> Hit:
+                       interpret=False, seed=None,
+                       packet: int = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -295,6 +296,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
+    if packet is None:
+        packet = PACKET
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -305,7 +308,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
 
-    group = PACKET * INTERLEAVE
+    group = packet * INTERLEAVE
     pad = (-n) % group
     total = n + pad
     n_groups = total // group
@@ -329,7 +332,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
             jnp.zeros((total,), jnp.float32),
         ],
         axis=0,
-    ).reshape(12, n_groups, INTERLEAVE, PACKET).transpose(1, 2, 0, 3)
+    ).reshape(12, n_groups, INTERLEAVE, packet).transpose(1, 2, 0, 3)
 
     oct_padded = jnp.pad(octant, (0, pad))
     group_oct = oct_padded.reshape(n_groups, group)[:, 0]
