@@ -70,3 +70,123 @@ def test_batched_progressive_matches_per_frame(box_glb, tmp_path):
     a = read_png(out_a).astype(int)
     b = read_png(out_b).astype(int)
     assert np.abs(a - b).max() <= 1  # f32 sum-order 1-ulp -> <=1 level
+
+
+def test_checked_render_validation(box_glb):
+    """checkify validation pass (the Vulkan validation-layer analog)
+    runs clean on a healthy scene."""
+    import numpy as np
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.device_scene import (
+        build_device_scene,
+    )
+    from vulkan_pathtracer_tpu.utils.config import RenderConfig
+    from vulkan_pathtracer_tpu.utils.validation import checked_render
+
+    scene = gltf.load(box_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 0, -3], np.float32))
+    img = checked_render(dev, cam, RenderConfig(), width=24, height=24)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dense_vmem_budget_fallback(columns_glb, monkeypatch):
+    """When the dense kernel's VMEM budget is too small, auto falls
+    back (dense -> packet -> XLA) and still renders correctly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.device_scene import (
+        build_device_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+        dense_fits_vmem,
+        fits_vmem,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import render_frame
+
+    scene = gltf.load(columns_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    monkeypatch.setenv("VKPT_VMEM_BUDGET", "1024")
+    assert not dense_fits_vmem(dev)
+    assert not fits_vmem(dev)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 2, -8], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    img_a, _ = render_frame(dev, pos, hor, ver, fwd, jnp.uint32(0),
+                            num_samples=1, num_bounces=2, width=24,
+                            height=24, traversal="auto")
+    monkeypatch.delenv("VKPT_VMEM_BUDGET")
+    img_b, _ = render_frame(dev, pos, hor, ver, fwd, jnp.uint32(1),
+                            num_samples=1, num_bounces=2, width=24,
+                            height=24, traversal="bvh")
+    a = np.asarray(img_a)
+    assert np.isfinite(a).all()
+
+
+def test_interactive_viewer_scripted(box_glb):
+    """Terminal viewer with scripted keys: frames render as ANSI
+    half-blocks, WASD/look keys drive the camera (Input.zig analog),
+    'q' quits."""
+    import io
+
+    import numpy as np
+
+    from vulkan_pathtracer_tpu.app.viewer import run_viewer
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.device_scene import (
+        build_device_scene,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
+    from vulkan_pathtracer_tpu.utils.config import RenderConfig
+
+    scene = gltf.load(box_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    config = RenderConfig(resolution_x=16, resolution_y=16,
+                          traversal="bvh")
+    pipeline = RenderPipeline(dev, config)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 0, -3], np.float32))
+    pos0 = cam.position.copy()
+    yaw0 = cam.yaw
+    out = io.StringIO()
+    keys = io.StringIO("wjq")
+    frames = run_viewer(pipeline, cam, out=out, keys=keys)
+    assert frames == 3  # w, j, then q quits after the 3rd present
+    text = out.getvalue()
+    assert "▀" in text and "\x1b[38;2;" in text  # ANSI half-blocks
+    assert cam.position[2] > pos0[2]             # moved forward (+z)
+    assert cam.yaw != yaw0                       # looked left/right
+
+
+def test_interactive_viewer_eof_quits(box_glb):
+    import io
+
+    import numpy as np
+
+    from vulkan_pathtracer_tpu.app.viewer import run_viewer
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.device_scene import (
+        build_device_scene,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
+    from vulkan_pathtracer_tpu.utils.config import RenderConfig
+
+    scene = gltf.load(box_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    pipeline = RenderPipeline(
+        dev, RenderConfig(resolution_x=8, resolution_y=8,
+                          traversal="bvh")
+    )
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 0, -3], np.float32))
+    frames = run_viewer(pipeline, cam, out=io.StringIO(),
+                        keys=io.StringIO(""))
+    assert frames == 1

@@ -91,6 +91,15 @@ def main(argv=None) -> int:
         )
         print("BVH invariants validated", file=sys.stderr)
 
+    if config.enable_validation:
+        # Checkified smoke dispatch (index OOB / NaN / div checks) —
+        # the validation-layer analog (see utils/validation.py).
+        from vulkan_pathtracer_tpu.utils.validation import checked_render
+
+        cam_v = Camera(aspect_ratio=config.aspect_ratio)
+        checked_render(dev, cam_v, config)
+        print("checkify render validation passed", file=sys.stderr)
+
     if args.devices > 1:
         from vulkan_pathtracer_tpu.parallel.sharding import (
             ShardedRenderPipeline,
@@ -107,6 +116,15 @@ def main(argv=None) -> int:
 
     camera = Camera(aspect_ratio=config.aspect_ratio)
     path = CameraPath.load(args.camera_path) if args.camera_path else None
+
+    if getattr(args, "interactive", False):
+        from vulkan_pathtracer_tpu.app.viewer import run_viewer
+
+        frames = run_viewer(pipeline, camera,
+                            max_frames=args.frames if args.frames > 1
+                            else 0)
+        print(f"viewer closed after {frames} frames", file=sys.stderr)
+        return 0
 
     rays_per_frame = (
         config.render_width * config.render_height

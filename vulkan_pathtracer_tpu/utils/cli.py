@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "bvh", "brute", "pallas",
                             "pallas_packet", "pallas8"],
                    default="auto")
+    p.add_argument("--interactive", action="store_true",
+                   help="terminal viewer: ANSI half-block frames with "
+                        "WASD/space/c movement + ijkl look (the "
+                        "zig-window analog); best with small -x/-y")
     p.add_argument("--instanced", action="store_true",
                    help="two-level BVH: per-mesh BLAS + TLAS, geometry "
                         "stored once (Tlas.zig semantics); best for "
