@@ -307,6 +307,9 @@ def build_dense_rows(bmin, bmax, skip_local, leaf_first, orders: int, xp):
     n_total = bmin.shape[0]
     nn = n_total // orders
     r = -(-nn // NODES_PER_ROW)
+    # Round rows per octant up to a sublane multiple (8) so the staged
+    # one-octant BlockSpec tiles cleanly.
+    r = -(-r // 8) * 8
     fields = xp.concatenate(
         [
             bmin.astype(f32), bmax.astype(f32),

@@ -667,14 +667,15 @@ def wide_fits_vmem(scene, budget_bytes: int = None) -> bool:
 # unchanged (same MT + slab arithmetic, t==1e32 miss sentinel).
 # ---------------------------------------------------------------------------
 NODES_PER_ROW = 16
-import os as _os  # noqa: E402
+import os  # noqa: E402
 
-DENSE_PACKET = int(_os.environ.get("VKPT_DENSE_PACKET", 2048))
+DENSE_PACKET = int(os.environ.get("VKPT_DENSE_PACKET", 2048))
 
 
 def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                        packet: int, C: int, tmin: float,
-                       instanced: bool = False, mb_bits: int = 0):
+                       instanced: bool = False, mb_bits: int = 0,
+                       staged: bool = False):
     sub = packet // _LANE
     npr = NODES_PER_ROW
 
@@ -684,8 +685,14 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
         else:
             inst_ref = None
             rays_ref, out_ref = rest
-        oct_ = octant_ref[pl.program_id(0)]
-        base_row = oct_ * rows_per_oct
+        if staged:
+            # One octant's rows staged by the scalar-prefetch index
+            # map (re-DMA'd only on octant switches — rays arrive
+            # sorted); the block is octant-local.
+            base_row = jnp.int32(0)
+        else:
+            oct_ = octant_ref[pl.program_id(0)]
+            base_row = oct_ * rows_per_oct
 
         comps = []
         for c in range(C):
@@ -905,9 +912,10 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=("orders", "interpret",
-                                             "mb_bits"))
+                                             "mb_bits", "staged"))
 def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
-                    orders=8, interpret=False, mb_bits=0):
+                    orders=8, interpret=False, mb_bits=0,
+                    staged=False):
     """rows: (orders*R, 128) f32 dense node rows; tris: (n_leaves,
     block*9) f32; rays: (G, C, 12, PACKET) f32; octants: (G,) int32;
     inst_inv: optional (I, 16) instance inverse transforms (two-level
@@ -920,10 +928,23 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
     g, C, _, packet = rays.shape
     instanced = inst_inv is not None
 
+    # staged=True: one octant's rows per packet group via the
+    # scalar-prefetch index map — 8x less node VMEM, lifting the
+    # scene ceiling to ~1M+ triangles on the fast path.
+    if staged:
+        node_spec = pl.BlockSpec(
+            (rows_per_oct, 8 * NODES_PER_ROW),
+            lambda i, octs: (octs[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        node_spec = pl.BlockSpec(
+            (total_rows, 8 * NODES_PER_ROW),
+            lambda i, octs: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
     in_specs = [
-        pl.BlockSpec((total_rows, 8 * NODES_PER_ROW),
-                     lambda i, octs: (0, 0),
-                     memory_space=pltpu.VMEM),
+        node_spec,
         pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -952,8 +973,9 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
     # honest for rays that finish on a padding node.
     kernel = _make_dense_kernel(n_nodes, rows_per_oct, block, packet, C,
                                 TMIN, instanced=instanced,
-                                mb_bits=mb_bits)
-    need = total_rows * 512 + n_leaves * 512 + 8 * 1024 * 1024
+                                mb_bits=mb_bits, staged=staged)
+    node_rows_resident = rows_per_oct * 2 if staged else total_rows
+    need = node_rows_resident * 512 + n_leaves * 512 + 8 * 1024 * 1024
     if instanced:
         need += inst_inv.shape[0] * 512
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
@@ -1012,16 +1034,20 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
 
     group_oct = jnp.pad(octant, (0, pad)).reshape(n_groups, group)[:, 0]
 
+    staged = os.environ.get("VKPT_DENSE_STAGED") == "1" or (
+        scene.bvh_rows.shape[0] * 512
+        + scene.tri_blocks.shape[0] * 512 > 90 * 1024 * 1024
+    )
     if getattr(scene, "instanced", False):
         out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
                               group_oct, scene.inst_inv,
                               orders=scene.bvh_orders,
                               interpret=interpret,
-                              mb_bits=scene.mb_bits)
+                              mb_bits=scene.mb_bits, staged=staged)
     else:
         out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
                               group_oct, orders=scene.bvh_orders,
-                              interpret=interpret)
+                              interpret=interpret, staged=staged)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -1029,9 +1055,11 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
 
 
 def dense_fits_vmem(scene, budget_bytes: int = None) -> bool:
-    """Dense rows are 512B per 16 nodes with no tile waste, and all
-    octants stay resident -- ceiling ~800k triangles on a 128MB-VMEM
-    chip (vs ~140k for the 512B/node packet kernel)."""
+    """Dense rows are 512B per 16 nodes with no tile waste.  All 8
+    octant orders stay resident when they fit (~800k-tri ceiling);
+    beyond that _dense_traverse stages ONE octant per packet group
+    (double-buffered), lifting the fast-path ceiling to ~1M+ tris
+    (the leaf table then dominates VMEM)."""
     import os
 
     if budget_bytes is None:
@@ -1045,4 +1073,8 @@ def dense_fits_vmem(scene, budget_bytes: int = None) -> bool:
     rows_bytes = scene.bvh_rows.shape[0] * 512
     tri_bytes = scene.tri_blocks.shape[0] * 512
     state = 8 * DENSE_PACKET * 4 * 4 * 2
-    return (rows_bytes + tri_bytes + state) < budget_bytes
+    if (rows_bytes + tri_bytes + state) < budget_bytes:
+        return True
+    # Staged mode: two octant blocks resident (double buffering).
+    staged_rows = (scene.bvh_rows.shape[0] // scene.bvh_orders) * 2 * 512
+    return (staged_rows + tri_bytes + state) < budget_bytes
