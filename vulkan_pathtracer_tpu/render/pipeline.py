@@ -77,7 +77,11 @@ def _pixel_seeds(width: int, height: int, frame, y_offset=0,
     return rng.prng_seed(px, py, frame)
 
 
-DEFAULT_RAY_CHUNK = 1 << 17  # target rays per dispatch
+# Target rays per dispatch chunk.  Bigger chunks = denser bounce-sort
+# key space (unions shrink): 131k -> 524k chunks measured +5% on the
+# atrium headline; beyond that the gain saturates while HBM temp
+# pressure grows.
+DEFAULT_RAY_CHUNK = 1 << 19
 
 # Primary rays are dispatched in 2D image tiles, not scanlines: a
 # 2048-ray traversal packet drawn from a 32x64 pixel tile shares a

@@ -42,7 +42,7 @@ class RenderConfig:
     # leaf block (valid-hit pre-pass; results unchanged). Wins in
     # interior scenes, loses slightly in open scenes — opt in.
     seed_secondary: bool = False
-    ray_chunk: int = 1 << 17        # rays per dispatch chunk (0 = off)
+    ray_chunk: int = 1 << 19        # rays per dispatch chunk (0 = off)
     dtype: str = "float32"
 
     @property
