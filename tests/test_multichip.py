@@ -88,3 +88,38 @@ def test_graft_entry_single():
     image = np.asarray(image)
     assert image.shape == (64, 64, 3)
     assert np.isfinite(image).all()
+
+
+def test_instanced_scene_sharded_tiles(columns_glb):
+    """Two-level (instanced) scenes replicate across the mesh and the
+    sharded tile render matches the single-chip instanced render."""
+    import jax.numpy as jnp
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.parallel.mesh import make_render_mesh
+    from vulkan_pathtracer_tpu.parallel.sharding import (
+        make_sharded_render,
+        replicate_scene,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import render_frame
+
+    host = gltf.load(columns_glb)
+    inst = build_instanced_scene(host, max_leaf_size=8)
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 2, -8], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    kw = dict(num_samples=1, num_bounces=2, width=16, height=32,
+              traversal="bvh")
+
+    ref, _ = render_frame(inst, pos, hor, ver, fwd, jnp.uint32(0), **kw)
+
+    mesh = make_render_mesh(8)
+    dev = replicate_scene(inst, mesh)
+    render = make_sharded_render(mesh, dev, mode="tiles", **kw)
+    img, _ = render(dev, pos, hor, ver, fwd, jnp.uint32(0))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
