@@ -166,6 +166,58 @@ def main():
 
     run(walk_scalars, "walk: 32 loads + 16x selects", table, vec)
 
+    def vec320_bf16(tab, i, acc, vacc, v):
+        x = vacc.astype(jnp.bfloat16)
+        for _ in range(160):
+            x = x * jnp.bfloat16(1.0001) + jnp.bfloat16(0.5)
+        return acc, vacc + x.astype(jnp.float32) * 1e-9
+
+    run(vec320_bf16, "320 bf16 vector ops (16,128)", table, vec)
+
+    # Full-row pattern vs group-staged: does splitting the 16-node
+    # slab into cond-gated groups of 4 (early exit when the chain
+    # leaves the row) recover the speculative waste?
+    def full_row(tab, i, acc, vacc, v):
+        r = i & 4095
+        x = vacc
+        s = acc
+        for j in range(16):
+            b = [tab[r, j * 8 + f] for f in range(8)]
+            for f in range(6):
+                x = jnp.maximum(x * b[f], x - b[f])
+        for jp in range(8):
+            s = s + jnp.sum(x + jnp.float32(jp))
+        return s, x
+
+    run(full_row, "row: 128 loads + 16-node fake slab + 8 sums", table, vec)
+
+    def grouped_row(tab, i, acc, vacc, v):
+        # Groups of 4 nodes; cond predicate i&3!=3 approximates a
+        # 75% early-exit after the first group (chain-length ~5).
+        r = i & 4095
+        s = acc
+
+        def group(g, x, s):
+            for j in range(4 * g, 4 * g + 4):
+                b = [tab[r, j * 8 + f] for f in range(8)]
+                for f in range(6):
+                    x = jnp.maximum(x * b[f], x - b[f])
+            s = s + jnp.sum(x) + jnp.sum(x + 1.0)
+            return x, s
+
+        x, s = group(0, vacc, s)
+
+        def rest(args):
+            x, s = args
+            for g in range(1, 4):
+                x, s = group(g, x, s)
+            return x, s
+
+        x, s = jax.lax.cond((i & 3) == 3, rest, lambda a: a, (x, s))
+        return s, x
+
+    run(grouped_row, "row: grouped 4+cond(25% rest)", table, vec)
+
 
 if __name__ == "__main__":
     main()

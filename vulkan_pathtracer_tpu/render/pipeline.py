@@ -346,6 +346,82 @@ def render_frames_joint(scene: DeviceScene, position, horizontal,
     return color_sum.reshape(height, width, 3), rays
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_bounces", "width", "height", "traversal",
+        "russian_roulette", "rr_start_bounce", "sort_secondary",
+        "ray_chunk",
+    ),
+)
+def render_frames_pooled(scene: DeviceScene, positions, horizontals,
+                         verticals, forwards, frames, *,
+                         num_bounces: int, width: int, height: int,
+                         traversal: str = "auto",
+                         russian_roulette: bool = False,
+                         rr_start_bounce: int = 2,
+                         sort_secondary: bool = True,
+                         ray_chunk: int = None):
+    """Render F frames with (possibly) DIFFERENT cameras as ONE pooled
+    wavefront — frames-in-flight as a ray stream (1 spp).
+
+    The reference keeps multiple swapchain frames in flight
+    (GraphicsContext.zig frame resources); the TPU analog pools their
+    rays: every bounce's global (octant, origin-Morton) sort then draws
+    traversal packets from an F-times denser key space, which is what
+    enclosed-interior secondary traversal is bound by.  Per-frame
+    images match rendering each frame alone to ~1 ulp (see
+    wavefront.trace_wavefront_pooled).
+
+    ``positions``..``forwards``: (F, 3) camera push constants;
+    ``frames``: (F,) uint32 frame counters.  Returns
+    (images (F, H, W, 3) f32, rays traced).
+    """
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        trace_wavefront_pooled,
+    )
+
+    f = positions.shape[0]
+    n = height * width
+
+    o_f, d_f = jax.vmap(
+        lambda p, h, v, fw: generate_rays(p, h, v, fw, width, height)
+    )(positions, horizontals, verticals, forwards)
+
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
+                  (height, 1)).reshape(-1)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+
+    tile_inv = None
+    if height > TILE_H and width > TILE_W:
+        t_order, t_inv = _tile_order(height, width)
+        t_order = jnp.asarray(t_order)
+        tile_inv = jnp.asarray(t_inv)
+        o_f = o_f[:, t_order]
+        d_f = d_f[:, t_order]
+        px = px[t_order]
+        py = py[t_order]
+
+    seed_x, seed_y = jax.vmap(
+        lambda fr: rng.prng_seed(px, py, fr)
+    )(frames)
+
+    color, rays = trace_wavefront_pooled(
+        scene,
+        o_f.reshape(f * n, 3), d_f.reshape(f * n, 3),
+        seed_x.reshape(-1), seed_y.reshape(-1),
+        num_bounces=num_bounces, traversal=traversal,
+        russian_roulette=russian_roulette,
+        rr_start_bounce=rr_start_bounce,
+        sort_secondary=sort_secondary,
+        **({} if ray_chunk is None else {"chunk": ray_chunk}),
+    )
+    color = color.reshape(f, n, 3)
+    if tile_inv is not None:
+        color = color[:, tile_inv]
+    return color.reshape(f, height, width, 3), rays
+
+
 class RenderPipeline:
     """Holds the scene + config and renders frames (the analog of
     RaytracingPass + RayTracingPipeline)."""
@@ -429,6 +505,34 @@ class RenderPipeline:
             ray_chunk=self.config.ray_chunk,
             sort_secondary=self._sort_secondary,
             seed_secondary=self.config.seed_secondary,
+        )
+
+    def render_pooled(self, cameras, frames):
+        """Render ``len(cameras)`` frames (one Camera + frame counter
+        each) as a single pooled wavefront — frames-in-flight
+        throughput mode (1 spp only).  Returns (images (F, H, W, 3),
+        rays traced); each image matches ``render(cameras[i],
+        frames[i])`` to ~1 ulp."""
+        if self.config.num_samples != 1:
+            raise ValueError(
+                "render_pooled requires 1 spp (cross-sample pooling "
+                "would break the per-pixel RNG stream's draw order)"
+            )
+        pcs = [cam.push_constants() for cam in cameras]
+        positions = jnp.asarray(np.stack([p[0] for p in pcs]))
+        horizontals = jnp.asarray(np.stack([p[1] for p in pcs]))
+        verticals = jnp.asarray(np.stack([p[2] for p in pcs]))
+        forwards = jnp.asarray(np.stack([p[3] for p in pcs]))
+        frames_arr = jnp.asarray(np.asarray(frames, dtype=np.uint32))
+        return render_frames_pooled(
+            self.scene, positions, horizontals, verticals, forwards,
+            frames_arr,
+            num_bounces=self.config.num_bounces,
+            width=self.width, height=self.height,
+            traversal=self._traversal,
+            russian_roulette=self.config.russian_roulette,
+            rr_start_bounce=self.config.rr_start_bounce,
+            sort_secondary=self._sort_secondary,
         )
 
     def resize(self, width: int, height: int) -> "RenderPipeline":

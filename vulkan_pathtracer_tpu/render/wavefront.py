@@ -487,6 +487,109 @@ def _unpack_state(st):
     )
 
 
+def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
+                           num_bounces: int, traversal: str = "auto",
+                           russian_roulette: bool = False,
+                           rr_start_bounce: int = 2,
+                           sort_secondary: bool = True,
+                           chunk: int = None):
+    """Trace a POOLED wavefront of rays from several frames (possibly
+    different cameras) jointly: frames-in-flight as one ray stream.
+
+    Where ``trace_progressive_batch`` exploits a static camera (one
+    shared primary hit), this path keeps every frame's own primary
+    rays but merges ALL frames into one packed state matrix so each
+    bounce's global (octant, origin-Morton) sort draws traversal
+    packets from an F-times denser key space — union-visit sharing in
+    the packet kernels improves with ray density (ROADMAP round-2
+    findings), which is exactly what enclosed-interior secondary
+    bounces are bound by.
+
+    Exactness: per-(pixel, frame) pcg2d streams are seeded
+    independently (frame_count seeds the stream, ray_gen.rgen:41), the
+    shading math per lane is identical to ``trace_sample``, and every
+    lane scatters to its own output row — hits and RNG streams are
+    bit-exact vs rendering each frame alone; radiance matches up to
+    XLA fma-fusion differences between the two programs (~1 ulp, same
+    as render_frames_joint).  Requires 1 spp (the per-pixel stream's
+    sequential sample draws forbid cross-sample pooling).
+
+    ``origin``/``direction``: (M, 3) pooled bounce-0 rays (all frames
+    concatenated, any coherent order); ``seed_x``/``seed_y``: (M,).
+    Returns (color (M, 3) in input lane order, physical rays traced).
+    """
+    import jax
+
+    m = origin.shape[0]
+    if chunk is None:
+        chunk = WAVEFRONT_CHUNK
+    chunk = min(chunk, m)
+
+    lane = jnp.arange(m, dtype=jnp.uint32)
+    state = _pack_state(
+        origin, direction,
+        jnp.ones((m, 3), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+        seed_x, seed_y,
+        jnp.ones((m,), bool), lane,
+    )
+    pad = (-m) % chunk
+    if pad:
+        state = jnp.pad(state, ((0, pad), (0, 0)))
+    n_chunks = state.shape[0] // chunk
+    rays_traced = jnp.float32(0.0)
+
+    def chunk_fn(last: bool, rr: bool, phase: str):
+        def fn(st):
+            o, d, atten, color, csx, csy, c_alive, c_lane = \
+                _unpack_state(st)
+
+            def work(args):
+                o, d, atten, color, csx, csy, c_alive = args
+                hit = _closest_hit(scene, o, d, c_alive, traversal,
+                                   phase=phase)
+                return _shade_and_extend(
+                    scene, hit, o, d, atten, color, csx, csy, c_alive,
+                    last=last, rr=rr,
+                )
+
+            def skip(args):
+                o, d, atten, color, csx, csy, c_alive = args
+                return (o, d, atten, color, csx, csy,
+                        jnp.zeros_like(c_alive))
+
+            count = jnp.sum(c_alive.astype(jnp.float32))
+            o, d, atten, color, csx, csy, c_alive = jax.lax.cond(
+                count > 0, work, skip,
+                (o, d, atten, color, csx, csy, c_alive),
+            )
+            return _pack_state(o, d, atten, color, csx, csy, c_alive,
+                               c_lane), count
+
+        return fn
+
+    for j in range(num_bounces):
+        if sort_secondary and j > 0:
+            o, d, _, _, _, _, alive, _ = _unpack_state(state)
+            key = _bounce_sort_key(scene, o, d, alive)
+            order = jnp.argsort(key)
+            state = state[order]
+        last = j == num_bounces - 1
+        rr = russian_roulette and (j + 1) >= rr_start_bounce
+        phase = "primary" if j == 0 else "secondary"
+        state, counts = jax.lax.map(
+            chunk_fn(last, rr, phase), state.reshape(n_chunks, chunk, 16)
+        )
+        state = state.reshape(-1, 16)
+        rays_traced = rays_traced + jnp.sum(counts)
+
+    _, _, _, color, _, _, _, out_lane = _unpack_state(state)
+    color_out = jnp.zeros((m, 3), jnp.float32).at[
+        out_lane.astype(jnp.int32)[:m + pad]
+    ].add(color, mode="drop")
+    return color_out, rays_traced
+
+
 def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
                             batch: int, num_bounces: int,
                             traversal: str = "auto",
