@@ -187,6 +187,46 @@ def main(argv=None) -> int:
         stats.log()
         return 0
 
+    if (getattr(args, "pool_frames", 1) > 1 and config.num_samples == 1
+            and args.devices <= 1 and acc is None):
+        # Frames-in-flight: pooled wavefront over groups of camera-path
+        # frames (throughput mode; per-frame images unchanged).
+        image = None
+        frame = start_frame
+        while frame < args.frames:
+            g = min(args.pool_frames, args.frames - frame)
+            cams = []
+            for k in range(frame, frame + g):
+                cam_k = Camera(aspect_ratio=config.aspect_ratio,
+                               position=camera.position.copy(),
+                               yaw=camera.yaw, pitch=camera.pitch)
+                if path is not None:
+                    t = path.duration * k / max(args.frames - 1, 1)
+                    path.apply(cam_k, t)
+                cams.append(cam_k)
+            images_dev, rays = pipeline.render_pooled(
+                cams, list(range(frame, frame + g))
+            )
+            image = np.asarray(images_dev[-1])
+            frame += g
+            dt = timer.lap()
+            # Attribute the group's wall time evenly across its frames
+            # so FPS/frame-time stats stay per-frame.
+            for _ in range(g):
+                stats.lap(dt / g, timer.one_second_elapsed,
+                          rays_this_frame=int(float(rays)) // g)
+            if timer.one_second_elapsed:
+                stats.log()
+            if args.save_every and frame % args.save_every == 0:
+                _present(image, config, args.output)
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+        if image is not None:
+            _present(image, config, args.output)
+            print(f"wrote {args.output}", file=sys.stderr)
+        stats.log()
+        return 0
+
     image = None
     for frame in range(start_frame, args.frames):
         if path is not None:

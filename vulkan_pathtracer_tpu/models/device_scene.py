@@ -418,6 +418,19 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         raw = mats[field].astype(np.int64)
         return np.where(raw == INVALID_TEXTURE_INDEX, 0, raw + 1).astype(np.int32)
 
+    # Host copies reused below for mat_packed: re-reading them from the
+    # DeviceScene would round-trip through the device (np.asarray on a
+    # jax Array) — measured ~40s PER FETCH through the axon relay
+    # because the sync waits behind all queued uploads.
+    alb_tex_np = remap("albedo_texture_index")
+    mr_tex_np = remap("metal_roughness_texture_index")
+    emi_tex_np = remap("emissive_texture_index")
+    nrm_tex_np = remap("normal_texture_index")
+    has_nrm_np = (
+        mats["normal_texture_index"].astype(np.int64)
+        != INVALID_TEXTURE_INDEX
+    )
+
     # Texel pool: dummy white first.
     texels = [np.full((1, 4), 255, dtype=np.uint8)]
     offsets = [0]
@@ -452,13 +465,11 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         mat_emissive_factor=jnp.asarray(
             mats["emissive_factor"].astype(np.uint32)
         ),
-        mat_albedo_tex=jnp.asarray(remap("albedo_texture_index")),
-        mat_mr_tex=jnp.asarray(remap("metal_roughness_texture_index")),
-        mat_emissive_tex=jnp.asarray(remap("emissive_texture_index")),
-        mat_normal_tex=jnp.asarray(remap("normal_texture_index")),
-        mat_has_normal_tex=jnp.asarray(
-            mats["normal_texture_index"].astype(np.int64) != INVALID_TEXTURE_INDEX
-        ),
+        mat_albedo_tex=jnp.asarray(alb_tex_np),
+        mat_mr_tex=jnp.asarray(mr_tex_np),
+        mat_emissive_tex=jnp.asarray(emi_tex_np),
+        mat_normal_tex=jnp.asarray(nrm_tex_np),
+        mat_has_normal_tex=jnp.asarray(has_nrm_np),
         tex_texels=jnp.asarray(tex_texels),
         tex_offset=jnp.asarray(np.asarray(offsets, dtype=np.int32)),
         tex_width=jnp.asarray(np.asarray(widths, dtype=np.int32)),
@@ -492,11 +503,11 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             mats["albedo_factor"].astype(np.uint32),
             mats["metal_roughness_factor"].astype(np.uint32),
             mats["emissive_factor"].astype(np.uint32),
-            np.asarray(dev.mat_albedo_tex).astype(np.uint32),
-            np.asarray(dev.mat_mr_tex).astype(np.uint32),
-            np.asarray(dev.mat_emissive_tex).astype(np.uint32),
-            np.asarray(dev.mat_normal_tex).astype(np.uint32),
-            np.asarray(dev.mat_has_normal_tex).astype(np.uint32),
+            alb_tex_np.astype(np.uint32),
+            mr_tex_np.astype(np.uint32),
+            emi_tex_np.astype(np.uint32),
+            nrm_tex_np.astype(np.uint32),
+            has_nrm_np.astype(np.uint32),
         ],
         axis=1,
     )

@@ -47,6 +47,7 @@ ops/traverse.py — tmin 0.001, tmax 10000, miss t == 1e32
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
 
-PACKET = 2048   # rays per packet (multiple of 128)
+PACKET = int(os.environ.get("VKPT_PACKET", 2048))  # rays/packet (x128)
 INTERLEAVE = 1  # packets per kernel body (C): measured flat in C on
 # uncontended runs (8.8-9.1 Mrays/s for C in {1,2,4}); keep the
 # simplest kernel
@@ -64,7 +65,7 @@ _LANE = 128
 
 
 def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
-                 tmin: float):
+                 tmin: float, leaf_gate: bool = True):
     sub = packet // _LANE
 
     def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
@@ -143,51 +144,85 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 box_hit = tn <= tf
                 is_leaf = leaf_f >= 0.0
 
-                def leaf_case(args, c=c, leaf_i=leaf_i):
-                    # No per-lane box mask: any Moller-Trumbore hit
-                    # with t in (tmin, min(t_best, tmax)) is a true
-                    # closest-hit candidate whether or not the slab
-                    # test passed (a triangle hit implies its leaf AABB
-                    # is hit), and dropping the mask removes the
-                    # box_hit vreg dependency from the branch.
+                def leaf_case(args, c=c, leaf_i=leaf_i, box_hit=box_hit):
+                    # Leaf MT is gated per vreg-sized SUBLANE GROUP on
+                    # the node visit's box_hit: after the bounce sort,
+                    # the ~dozen rays that want a given leaf are
+                    # contiguous, so usually one (8, 128) group of the
+                    # packet carries all hits and the others skip their
+                    # MT entirely (cross-lane sums pipeline and
+                    # lax.cond is ~free per experiments/mosaic_costs).
+                    # Skipping a no-box-hit group is exact: a triangle
+                    # hit with t in (tmin, min(t_best, tmax)) implies
+                    # its leaf AABB passes the slab test under the SAME
+                    # t_lim bound.  Within a gated group the MT updates
+                    # stay unmasked (any in-range MT hit is a true
+                    # candidate).
                     t_best, tri_best, u_best, v_best = args
                     ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
                     row = leaf_i // block
-                    for k in range(block):
-                        base = k * 9
-                        v0x = tris_ref[row, base + 0]
-                        v0y = tris_ref[row, base + 1]
-                        v0z = tris_ref[row, base + 2]
-                        e1x = tris_ref[row, base + 3]
-                        e1y = tris_ref[row, base + 4]
-                        e1z = tris_ref[row, base + 5]
-                        e2x = tris_ref[row, base + 6]
-                        e2y = tris_ref[row, base + 7]
-                        e2z = tris_ref[row, base + 8]
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        front = det > 0.0
-                        inv_det = 1.0 / jnp.where(front, det, 1.0)
-                        tx = ox - v0x
-                        ty = oy - v0y
-                        tz = oz - v0z
-                        u = (tx * px + ty * py + tz * pz) * inv_det
-                        qx = ty * e1z - tz * e1y
-                        qy = tz * e1x - tx * e1z
-                        qz = tx * e1y - ty * e1x
-                        v = (dx * qx + dy * qy + dz * qz) * inv_det
-                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                        t_lim = jnp.minimum(t_best, tl)
-                        hit = (front & (u >= 0.0) & (v >= 0.0)
-                               & (u + v <= 1.0) & (t > tmin)
-                               & (t < t_lim))
-                        t_best = jnp.where(hit, t, t_best)
-                        tri_best = jnp.where(hit, leaf_i + k, tri_best)
-                        u_best = jnp.where(hit, u, u_best)
-                        v_best = jnp.where(hit, v, v_best)
-                    return t_best, tri_best, u_best, v_best
+
+                    def mt_group(sl, args):
+                        t_best, tri_best, u_best, v_best = args
+                        oxg, oyg, ozg = ox[sl], oy[sl], oz[sl]
+                        dxg, dyg, dzg = dx[sl], dy[sl], dz[sl]
+                        tlg = tl[sl]
+                        for k in range(block):
+                            base = k * 9
+                            v0x = tris_ref[row, base + 0]
+                            v0y = tris_ref[row, base + 1]
+                            v0z = tris_ref[row, base + 2]
+                            e1x = tris_ref[row, base + 3]
+                            e1y = tris_ref[row, base + 4]
+                            e1z = tris_ref[row, base + 5]
+                            e2x = tris_ref[row, base + 6]
+                            e2y = tris_ref[row, base + 7]
+                            e2z = tris_ref[row, base + 8]
+                            px = dyg * e2z - dzg * e2y
+                            py = dzg * e2x - dxg * e2z
+                            pz = dxg * e2y - dyg * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            front = det > 0.0
+                            inv_det = 1.0 / jnp.where(front, det, 1.0)
+                            tx = oxg - v0x
+                            ty = oyg - v0y
+                            tz = ozg - v0z
+                            u = (tx * px + ty * py + tz * pz) * inv_det
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            v = (dxg * qx + dyg * qy + dzg * qz) * inv_det
+                            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            t_lim = jnp.minimum(t_best, tlg)
+                            hit = (front & (u >= 0.0) & (v >= 0.0)
+                                   & (u + v <= 1.0) & (t > tmin)
+                                   & (t < t_lim))
+                            t_best = jnp.where(hit, t, t_best)
+                            tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                            u_best = jnp.where(hit, u, u_best)
+                            v_best = jnp.where(hit, v, v_best)
+                        return t_best, tri_best, u_best, v_best
+
+                    gsub = 8  # one (8, 128) vreg per gated group
+                    if not leaf_gate or sub <= gsub:
+                        return mt_group(slice(None), args)
+                    outs = []
+                    for g in range(sub // gsub):
+                        sl = slice(g * gsub, (g + 1) * gsub)
+                        any_g = jnp.sum(
+                            jnp.where(box_hit[sl], 1.0, 0.0)
+                        ) > 0.0
+                        outs.append(jax.lax.cond(
+                            any_g,
+                            lambda a, sl=sl: mt_group(sl, a),
+                            lambda a: a,
+                            (t_best[sl], tri_best[sl], u_best[sl],
+                             v_best[sl]),
+                        ))
+                    return tuple(
+                        jnp.concatenate([o[i] for o in outs], axis=0)
+                        for i in range(4)
+                    )
 
                 # Leaf visits never need the vector->scalar `any()`
                 # sync: their successor is always the skip pointer, and
@@ -224,8 +259,9 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "leaf_gate"))
+def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False,
+                     leaf_gate=True):
     """nodes8: (8, Nn, 8) f32 (bmin|bmax|skip|leaf as float values);
     tris: (n_leaves, block*9) f32; rays: (G, C, 12, PACKET) f32;
     octants: (G,) int32.  Returns (G, C, 4, PACKET) f32."""
@@ -250,7 +286,8 @@ def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False):
                                lambda i, octs: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = _make_kernel(n_nodes, block, packet, C, TMIN)
+    kernel = _make_kernel(n_nodes, block, packet, C, TMIN,
+                          leaf_gate=leaf_gate)
     # Default scoped-VMEM limit is 16MB; v5e has 128MB — size the limit
     # to the (lane-padded) tables + state, capped below the hardware.
     need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
@@ -285,7 +322,7 @@ def _seed_channels(n, seed):
 
 def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False, seed=None,
-                       packet: int = None) -> Hit:
+                       packet: int = None, leaf_gate: bool = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -298,6 +335,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
     if packet is None:
         packet = PACKET
+    if leaf_gate is None:
+        leaf_gate = os.environ.get("VKPT_LEAF_GATE", "1") != "0"
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -345,7 +384,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     ).reshape(scene.bvh_orders, n_nodes, 8)
 
     out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
-                           interpret=interpret)
+                           interpret=interpret, leaf_gate=leaf_gate)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -667,7 +706,6 @@ def wide_fits_vmem(scene, budget_bytes: int = None) -> bool:
 # unchanged (same MT + slab arithmetic, t==1e32 miss sentinel).
 # ---------------------------------------------------------------------------
 NODES_PER_ROW = 16
-import os  # noqa: E402
 
 DENSE_PACKET = int(os.environ.get("VKPT_DENSE_PACKET", 2048))
 

@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-frames", type=int, default=1,
                    help="progressive frames per device dispatch (static "
                         "camera only; amortizes dispatch overhead)")
+    p.add_argument("--pool-frames", type=int, default=1,
+                   help="frames-in-flight: render N camera-path frames "
+                        "as ONE pooled wavefront (1 spp; denser bounce "
+                        "sort, higher throughput, same images)")
     return p
 
 
