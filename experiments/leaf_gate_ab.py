@@ -96,22 +96,44 @@ def main():
     n_alive = float(jnp.sum(alive))
     print(f"secondary rays: {o.shape[0]} ({n_alive:.0f} alive)", flush=True)
 
-    variants = [
-        ("pk2048 gate=off", dict(packet=2048, leaf_gate=False)),
-        ("pk2048 gate=on ", dict(packet=2048, leaf_gate=True)),
-        ("pk4096 gate=off", dict(packet=4096, leaf_gate=False)),
-        ("pk4096 gate=on ", dict(packet=4096, leaf_gate=True)),
-        ("pk8192 gate=on ", dict(packet=8192, leaf_gate=True)),
-    ]
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+        pallas_dense_closest_hit,
+    )
+
+    which = os.environ.get("VARIANTS", "gate")
+    if which == "gate":
+        variants = [
+            ("pk2048 gate=off", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=2048, leaf_gate=False)),
+            ("pk2048 gate=on ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=2048, leaf_gate=True)),
+            ("pk4096 gate=off", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
+            ("pk4096 gate=on ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=True)),
+            ("pk8192 gate=on ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, leaf_gate=True)),
+        ]
+    else:
+        variants = [
+            ("packet pk4096  ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
+            ("dense pk2048 C1", lambda: pallas_dense_closest_hit(
+                dev, o, d, alive, packet=2048, interleave=1)),
+            ("dense pk2048 C2", lambda: pallas_dense_closest_hit(
+                dev, o, d, alive, packet=2048, interleave=2)),
+            ("dense pk4096 C1", lambda: pallas_dense_closest_hit(
+                dev, o, d, alive, packet=4096, interleave=1)),
+        ]
     reps = int(os.environ.get("REPS", 6))
     base = None
-    for name, kw in variants:
-        hit = pallas_closest_hit(dev, o, d, alive, **kw)
+    for name, fn in variants:
+        hit = fn()
         chk = float(jnp.sum(jnp.where(hit.t < 1e32, hit.t, 0.0)))
         best = 9e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            hit = pallas_closest_hit(dev, o, d, alive, **kw)
+            hit = fn()
             _ = float(hit.t.sum())
             best = min(best, time.perf_counter() - t0)
         mrays = n_alive / best / 1e6

@@ -567,6 +567,14 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         dev.bvh_packed = jnp.asarray(
             np.concatenate([bmin_s, bmax_s, tail], axis=1).astype(np.float32)
         )
+        # Host-side scene bounds (root AABB) for camera/orbit setup:
+        # reading dev.bvh_packed[0] back would sync behind all queued
+        # uploads through the remote relay (~40s).  Plain attribute —
+        # does NOT survive pytree flatten/unflatten (jit/replicate).
+        dev.root_bounds_host = (
+            np.asarray(bvh.bmin[0], np.float32).copy(),
+            np.asarray(bvh.bmax[0], np.float32).copy(),
+        )
         dev.bvh_rows = jnp.asarray(build_dense_rows(
             bmin_s, bmax_s, skip_local.astype(np.float32),
             lf.astype(np.float32), dev.bvh_orders, np,

@@ -336,7 +336,11 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     if packet is None:
         packet = PACKET
     if leaf_gate is None:
-        leaf_gate = os.environ.get("VKPT_LEAF_GATE", "1") != "0"
+        # Measured DEAD END on the atrium (experiments/leaf_gate_ab):
+        # gating leaf MT per (8,128) group costs 15-21% — the per-leaf
+        # cross-lane sums + conds exceed the skipped MT work.  Kept as
+        # an opt-in for future hardware where branches are cheaper.
+        leaf_gate = os.environ.get("VKPT_LEAF_GATE", "0") == "1"
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)

@@ -137,9 +137,16 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 and fits_vmem(scene)
             )
             if prefer_packet:
+                import os
+
+                # PK=4096 measured +17% over 2048 on sorted atrium
+                # bounce rays (experiments/leaf_gate_ab; 8192 is worse
+                # again) — bigger packets amortize the per-visit
+                # scalar/sync overhead until vector work dominates.
+                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 4096))
                 return pallas_closest_hit(
                     scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed,
+                    interpret=not on_tpu, seed=seed, packet=pk,
                 )
             if dense_fits_vmem(scene):
                 return pallas_dense_closest_hit(
