@@ -263,18 +263,40 @@ def _bake_instance(scene: Scene, inst, prims_out: dict, vert_base: int) -> int:
 
 
 def bvh_with_leaf_blocks(tri_v0: np.ndarray, tri_e1: np.ndarray,
-                         tri_e2: np.ndarray, max_leaf_size: int):
+                         tri_e2: np.ndarray, max_leaf_size: int,
+                         presplit: float = 0.0):
     """Build the BVH and rewrite its leaves to fixed-size blocks.
 
     Returns (bvh, slot_map) where slot_map (T',) maps padded leaf-block
     triangle slots to ORIGINAL (pre-Morton-sort) triangle indices, -1
     for padding.  Shared by the static bake and AnimatedScene so both
     produce identical orderings.
+
+    ``presplit`` > 0 enables triangle pre-splitting with that budget
+    factor (ops.bvh.presplit_triangle_refs): the tree is built over
+    clipped triangle REFERENCES (duplicate slots for split triangles),
+    which tightens node boxes around large architectural triangles.
+    The builder never sees geometry — only reference AABBs — so this
+    reuses the native SAH path unchanged via degenerate box-spanning
+    "triangles"; slot_map composes reference -> original ids.
     """
     from vulkan_pathtracer_tpu.ops.bvh import (
         build_bvh_host,
         pad_leaves_to_blocks,
+        presplit_triangle_refs,
     )
+
+    if presplit > 0.0 and tri_v0.shape[0] >= 1024:
+        lo, hi, ref_tri = presplit_triangle_refs(
+            tri_v0, tri_e1, tri_e2, budget_factor=presplit
+        )
+        span = hi - lo
+        bvh = build_bvh_host(lo, span, span, max_leaf_size=max_leaf_size)
+        gmap = pad_leaves_to_blocks(bvh, block=max_leaf_size)
+        slot_map = np.where(
+            gmap >= 0, ref_tri[bvh.tri_order[np.maximum(gmap, 0)]], -1
+        )
+        return bvh, slot_map
 
     bvh = build_bvh_host(tri_v0, tri_e1, tri_e2, max_leaf_size=max_leaf_size)
     gmap = pad_leaves_to_blocks(bvh, block=max_leaf_size)
@@ -336,8 +358,17 @@ def build_dense_rows(bmin, bmax, skip_local, leaf_first, orders: int, xp):
 def build_device_scene(scene: Scene, build_bvh: bool = True,
                        max_leaf_size: int = 4,
                        octant_order: bool = True,
-                       wide: bool = True) -> DeviceScene:
-    """Bake a host Scene into device SoA arrays (and optionally a BVH)."""
+                       wide: bool = True,
+                       presplit: float = None) -> DeviceScene:
+    """Bake a host Scene into device SoA arrays (and optionally a BVH).
+
+    ``presplit``: triangle pre-splitting budget factor (see
+    bvh_with_leaf_blocks); None reads VKPT_PRESPLIT (default off).
+    """
+    import os
+
+    if presplit is None:
+        presplit = float(os.environ.get("VKPT_PRESPLIT", "0"))
     acc = {k: [] for k in (
         "tri_v0", "tri_e1", "tri_e2", "tri_gn", "tri_index", "tri_material",
         "tri_primitive", "tri_local", "vert_normal", "vert_tangent",
@@ -371,7 +402,7 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
     bvh = None
     if build_bvh and num_triangles > 0:
         bvh, slot_map = bvh_with_leaf_blocks(
-            tri_v0, tri_e1, tri_e2, max_leaf_size
+            tri_v0, tri_e1, tri_e2, max_leaf_size, presplit=presplit
         )
         # Reorder triangles into fixed-size leaf-block order (padding
         # slots get degenerate rows) so a leaf visit is ONE packed-row

@@ -222,7 +222,10 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
     if active is not None:
         key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
-    inv = jnp.argsort(order)
+    # Inverse permutation via scatter (O(n)), not a second argsort.
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
     if seed is not None:
         seed = type(seed)(t=seed.t[order], tri=seed.tri[order],
                           u=seed.u[order], v=seed.v[order])
