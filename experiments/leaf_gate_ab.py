@@ -122,8 +122,8 @@ def main():
                 dev, o, d, alive, packet=2048, interleave=1)),
             ("dense pk2048 C2", lambda: pallas_dense_closest_hit(
                 dev, o, d, alive, packet=2048, interleave=2)),
-            ("dense pk4096 C1", lambda: pallas_dense_closest_hit(
-                dev, o, d, alive, packet=4096, interleave=1)),
+            # dense pk4096 is INVALID (the 2-per-reduction hit packing
+            # overflows at c0 == 4096; guarded with ValueError).
         ]
     reps = int(os.environ.get("REPS", 6))
     base = None

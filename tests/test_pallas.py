@@ -105,6 +105,22 @@ def test_dense_matches_xla_traversal(cols_dev):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dense_rejects_oversize_packet(cols_dev):
+    """packet > 2048 would silently corrupt the 2-nodes-per-reduction
+    hit packing (c0 + 4096*c1 collides when all lanes hit) — the dense
+    path must refuse it."""
+    import pytest
+
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+        pallas_dense_closest_hit,
+    )
+
+    o, d = _rays(64)
+    with pytest.raises(ValueError, match="2048"):
+        pallas_dense_closest_hit(cols_dev, o, d, interpret=True,
+                                 packet=4096)
+
+
 def test_dense_active_mask(cols_dev):
     from vulkan_pathtracer_tpu.ops.pallas_traverse import (
         pallas_dense_closest_hit,

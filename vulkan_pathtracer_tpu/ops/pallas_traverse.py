@@ -1037,6 +1037,13 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
     n = origin.shape[0]
     if packet is None:
         packet = DENSE_PACKET
+    if packet > 2048:
+        # The row kernel extracts two nodes' union-hit flags per
+        # cross-lane reduction as counts c0 + 4096*c1; at packet 4096 a
+        # full-packet hit makes c0 == 4096 and collides with c1's
+        # weight (measured: silently wrong hits).  c0 <= 2048 keeps the
+        # packed value < 2^24 (exact in f32).
+        raise ValueError("dense kernel packet must be <= 2048")
     C = interleave
 
     octant = (
