@@ -44,6 +44,20 @@ def test_matches_xla_traversal(cols_dev):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_leaf_gate_matches(cols_dev):
+    """Opt-in leaf-MT sublane-group gating (VKPT_LEAF_GATE) must be
+    exact: a no-box-hit group cannot contain an in-range triangle hit
+    under the same t_lim bound."""
+    o, d = _rays(700, seed=4)
+    ref = pallas_closest_hit(cols_dev, o, d, interpret=True,
+                             packet=2048, leaf_gate=False)
+    got = pallas_closest_hit(cols_dev, o, d, interpret=True,
+                             packet=2048, leaf_gate=True)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))
+
+
 def test_active_mask(cols_dev):
     o, d = _rays(600, seed=9)
     rng = np.random.default_rng(1)
