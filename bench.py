@@ -100,6 +100,7 @@ def main() -> int:
         num_samples=spp, num_bounces=bounces,
         resolution_x=width, resolution_y=height,
         traversal=os.environ.get("BENCH_TRAVERSAL", "auto"),
+        russian_roulette=os.environ.get("BENCH_RR", "0") == "1",
     )
     pipeline = RenderPipeline(dev, config)
 

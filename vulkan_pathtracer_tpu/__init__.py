@@ -24,3 +24,31 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from vulkan_pathtracer_tpu.utils.config import RenderConfig  # noqa: F401
+
+# Lazy top-level API (PEP 562): the primary objects a framework user
+# needs, without importing jax/PIL at package-import time.
+_LAZY = {
+    "Camera": ("vulkan_pathtracer_tpu.models.camera", "Camera"),
+    "load_scene": ("vulkan_pathtracer_tpu.models.gltf", "load"),
+    "build_device_scene": (
+        "vulkan_pathtracer_tpu.models.device_scene", "build_device_scene"),
+    "build_instanced_scene": (
+        "vulkan_pathtracer_tpu.models.instanced_scene",
+        "build_instanced_scene"),
+    "RenderPipeline": (
+        "vulkan_pathtracer_tpu.render.pipeline", "RenderPipeline"),
+    "Accumulator": ("vulkan_pathtracer_tpu.render.output", "Accumulator"),
+    "make_render_mesh": (
+        "vulkan_pathtracer_tpu.parallel.mesh", "make_render_mesh"),
+}
+
+__all__ = ["RenderConfig", *_LAZY]
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
