@@ -114,6 +114,12 @@ def main():
             ("pk8192 gate=on ", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=8192, leaf_gate=True)),
         ]
+    elif which == "pk":
+        variants = [
+            (f"pk{pk}", (lambda pk=pk: pallas_closest_hit(
+                dev, o, d, alive, packet=pk, leaf_gate=False)))
+            for pk in (2048, 3072, 4096, 5120, 6144)
+        ]
     else:
         variants = [
             ("packet pk4096  ", lambda: pallas_closest_hit(
