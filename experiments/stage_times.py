@@ -29,22 +29,33 @@ def main():
     from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
     from vulkan_pathtracer_tpu.render.pipeline import render_frame
 
-    grid = int(sys.argv[1]) if len(sys.argv) > 1 else 14
-    segments = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    path = f"/tmp/dense_cols_{grid}_{segments}.glb"
-    if not os.path.exists(path):
-        make_columns(path, grid=grid, segments=segments, n_materials=16)
+    if os.environ.get("SCENE") == "atrium":
+        from assets.procedural import make_atrium
+
+        detail = float(os.environ.get("DETAIL", 4.1))
+        path = f"/tmp/bench_atrium_{detail}.glb"
+        if not os.path.exists(path):
+            make_atrium(path, detail=detail)
+    else:
+        grid = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+        segments = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+        path = f"/tmp/dense_cols_{grid}_{segments}.glb"
+        if not os.path.exists(path):
+            make_columns(path, grid=grid, segments=segments, n_materials=16)
     scene = gltf.load(path)
     dev = build_device_scene(scene, max_leaf_size=int(os.environ.get("LEAF", 8)))
     print(f"tris={dev.num_triangles}", flush=True)
 
     cam = Camera(aspect_ratio=1920 / 1080)
-    root_min = np.asarray(dev.bvh_packed[0, 0:3])
-    root_max = np.asarray(dev.bvh_packed[0, 3:6])
-    extent = float(np.max(root_max - root_min))
-    center = (root_min + root_max) * 0.5
-    orbit_path(radius=0.75 * extent, height=0.35 * extent,
-               center=tuple(center)).apply(cam, 0.0)
+    if os.environ.get("SCENE") == "atrium":
+        orbit_path(radius=4.5, height=2.2, duration=4.0,
+                   center=(0.0, 1.2, 0.0)).apply(cam, 0.0)
+    else:
+        root_min, root_max = dev.root_bounds_host
+        extent = float(np.max(root_max - root_min))
+        center = (root_min + root_max) * 0.5
+        orbit_path(radius=0.75 * extent, height=0.35 * extent,
+                   center=tuple(center)).apply(cam, 0.0)
     pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
 
     variants = [
