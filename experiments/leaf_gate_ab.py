@@ -91,10 +91,28 @@ def main():
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=8)
     print(f"tris={dev.num_triangles}", flush=True)
 
-    o, d, alive = bounce_rays(dev)
+    if os.environ.get("VARIANTS") == "prim":
+        # Tile-ordered PRIMARY rays instead of bounce rays.
+        from vulkan_pathtracer_tpu.app.camera_path import orbit_path
+        from vulkan_pathtracer_tpu.models.camera import Camera
+        from vulkan_pathtracer_tpu.render.pipeline import (
+            _tile_order, generate_rays,
+        )
+
+        cam = Camera(aspect_ratio=1920 / 1080)
+        orbit_path(radius=4.5, height=2.2, duration=4.0,
+                   center=(0.0, 1.2, 0.0)).apply(cam, 0.0)
+        pos, hor, ver, fwd = (jnp.asarray(v) for v in
+                              cam.push_constants())
+        o, d = generate_rays(pos, hor, ver, fwd, 1920, 1080)
+        t_order, _ = _tile_order(1080, 1920)
+        o, d = o[jnp.asarray(t_order)], d[jnp.asarray(t_order)]
+        alive = None
+    else:
+        o, d, alive = bounce_rays(dev)
     o, d = jax.device_put(o), jax.device_put(d)
-    n_alive = float(jnp.sum(alive))
-    print(f"secondary rays: {o.shape[0]} ({n_alive:.0f} alive)", flush=True)
+    n_alive = float(o.shape[0] if alive is None else jnp.sum(alive))
+    print(f"rays: {o.shape[0]} ({n_alive:.0f} alive)", flush=True)
 
     from vulkan_pathtracer_tpu.ops.pallas_traverse import (
         pallas_dense_closest_hit,
@@ -113,6 +131,21 @@ def main():
                 dev, o, d, alive, packet=4096, leaf_gate=True)),
             ("pk8192 gate=on ", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=8192, leaf_gate=True)),
+        ]
+    elif which == "prim":
+        variants = [
+            ("dense pk2048 (prod primary)",
+             lambda: pallas_dense_closest_hit(
+                 dev, o, d, alive, packet=2048, interleave=1)),
+            ("packet pk4096", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
+            ("packet pk2048", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=2048, leaf_gate=False)),
+        ]
+    elif which == "prod":
+        variants = [
+            ("pk4096 prod", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
         ]
     elif which == "pk":
         variants = [

@@ -19,7 +19,7 @@
 
 namespace {
 
-constexpr int kBins = 16;
+constexpr int kBins = 32;
 
 struct AABB {
     double lo[3] = {1e300, 1e300, 1e300};

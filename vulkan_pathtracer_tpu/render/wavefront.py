@@ -594,8 +594,10 @@ def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
         rays_traced = rays_traced + jnp.sum(counts)
 
     _, _, _, color, _, _, _, out_lane = _unpack_state(state)
+    # Pad lanes carry lane id 0 but only ever zero color (alive=False
+    # from the first bounce), so the scatter-add is exact.
     color_out = jnp.zeros((m, 3), jnp.float32).at[
-        out_lane.astype(jnp.int32)[:m + pad]
+        out_lane.astype(jnp.int32)
     ].add(color, mode="drop")
     return color_out, rays_traced
 
