@@ -54,6 +54,7 @@ def bounce_rays(dev, W=1920, H=1080):
         o, d, sx, sy = o[t_order], d[t_order], sx[t_order], sy[t_order]
         hit = _closest_hit(dev, o, d, None, "auto", phase="primary")
         did = hit.t < MISS_T
+        prev_tri = hit.tri
         tri = get_triangle_data(dev, hit)
         mat = get_material_data(dev, tri)
         out_dir = -d
@@ -72,7 +73,8 @@ def bounce_rays(dev, W=1920, H=1080):
         alive = did & (dot(sh.normal, d2) > 0.0)
         key = _bounce_sort_key(dev, o2, d2, alive)
         order = jnp.argsort(key)
-        return o2[order], d2[order], alive[order]
+        prev_block = jnp.maximum(prev_tri, 0) // dev.max_leaf_size
+        return (o2[order], d2[order], alive[order], prev_block[order])
 
     return make()
 
@@ -109,7 +111,7 @@ def main():
         o, d = o[jnp.asarray(t_order)], d[jnp.asarray(t_order)]
         alive = None
     else:
-        o, d, alive = bounce_rays(dev)
+        o, d, alive, prev_block = bounce_rays(dev)
     o, d = jax.device_put(o), jax.device_put(d)
     n_alive = float(o.shape[0] if alive is None else jnp.sum(alive))
     print(f"rays: {o.shape[0]} ({n_alive:.0f} alive)", flush=True)
@@ -146,6 +148,95 @@ def main():
         variants = [
             ("pk4096 prod", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=4096, leaf_gate=False)),
+        ]
+    elif which == "shortray":
+        # Two-pass short-ray traversal: pass 1 clamps every lane's far
+        # plane to T0 (tight tf bound -> small packet unions); lanes
+        # with no hit below T0 re-traverse at full range in pass 2.
+        # Exact: a hit below T0 is the global closest hit.
+        from vulkan_pathtracer_tpu.ops.intersect import MISS_T as _MISS
+
+        base_fn = jax.jit(lambda: pallas_closest_hit(
+            dev, o, d, alive, packet=4096, leaf_gate=False))
+        bh = base_fn()
+        t_np = np.asarray(bh.t)
+        a_np = (np.ones(t_np.shape, bool) if alive is None
+                else np.asarray(alive))
+        hits = t_np[a_np & (t_np < 1e31)]
+        pcts = {p: float(np.percentile(hits, p)) for p in (50, 70, 85, 95)}
+        print("hit-dist percentiles:", {k: round(v, 3) for k, v in
+                                        pcts.items()}, flush=True)
+
+        def two_pass(T0, pk=4096):
+            h1 = pallas_closest_hit(dev, o, d, alive, packet=pk,
+                                    leaf_gate=False, t_far=T0)
+            miss1 = h1.t >= _MISS
+            act2 = miss1 if alive is None else jnp.logical_and(alive, miss1)
+            h2 = pallas_closest_hit(dev, o, d, act2, packet=pk,
+                                    leaf_gate=False)
+            from vulkan_pathtracer_tpu.ops.intersect import Hit as _Hit
+            return _Hit(
+                t=jnp.where(miss1, h2.t, h1.t),
+                tri=jnp.where(miss1, h2.tri, h1.tri),
+                u=jnp.where(miss1, h2.u, h1.u),
+                v=jnp.where(miss1, h2.v, h1.v),
+            )
+
+        def pass1_only(T0, pk=4096):
+            return pallas_closest_hit(dev, o, d, alive, packet=pk,
+                                      leaf_gate=False, t_far=T0)
+
+        variants = [("full pk4096    ", base_fn)]
+        for p in (50, 70, 85, 95):
+            T0 = pcts[p]
+            n_m = float(np.sum(a_np & (t_np >= T0)))
+            print(f"  T0=p{p} ({T0:.2f}): pass2 rays = {n_m:.0f} "
+                  f"({100*n_m/max(np.sum(a_np),1):.1f}%)", flush=True)
+            variants.append((f"p1-only p{p}    ",
+                             jax.jit(lambda T0=T0: pass1_only(T0))))
+            variants.append((f"two-pass p{p}   ",
+                             jax.jit(lambda T0=T0: two_pass(T0))))
+    elif which == "seed":
+        # Exact t-seeding: intersect each bounce ray against its
+        # ORIGIN's leaf block first (leaf_seed_hit); any hit is a valid
+        # t_best that prunes traversal from the first node visit.
+        from vulkan_pathtracer_tpu.ops.intersect import leaf_seed_hit
+
+        def seeded(pk, gmt):
+            def fn():
+                seed = leaf_seed_hit(dev, o, d, prev_block, active=alive)
+                return pallas_closest_hit(dev, o, d, alive, packet=pk,
+                                          leaf_gate=False, seed=seed,
+                                          group_mt=gmt)
+            return jax.jit(fn)
+
+        sh = leaf_seed_hit(dev, o, d, prev_block, active=alive)
+        frac = float(jnp.sum(jnp.where(
+            alive if alive is not None else True, sh.t < 1e31, False))
+        ) / max(n_alive, 1)
+        print(f"seed coverage: {100*frac:.1f}% of alive rays", flush=True)
+        variants = [
+            ("pk4096 baseline ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
+            ("pk4096 seeded   ", seeded(4096, 0)),
+            ("pk8192 gmt1     ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=1)),
+            ("pk8192 gmt1 seed", seeded(8192, 1)),
+        ]
+    elif which == "gmt":
+        variants = [
+            ("pk4096 baseline", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, leaf_gate=False)),
+            ("pk4096 gmt gf=1", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, group_mt=1)),
+            ("pk4096 gmt gf=2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, group_mt=2)),
+            ("pk8192 gmt gf=1", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=1)),
+            ("pk8192 gmt gf=2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=2)),
+            ("pk16384 gmt gf=2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=16384, group_mt=2)),
         ]
     elif which == "pk":
         variants = [

@@ -322,7 +322,8 @@ def _seed_channels(n, seed):
 
 def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False, seed=None,
-                       packet: int = None, leaf_gate: bool = None) -> Hit:
+                       packet: int = None, leaf_gate: bool = None,
+                       t_far=None, group_mt: int = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -330,6 +331,10 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     traversal).  ``seed`` (optional Hit) pre-loads t/tri/u/v — a valid
     prior hit (e.g. from ops.intersect.leaf_seed_hit) that tightens
     t_best from the first node visit without changing results.
+    ``t_far`` (scalar or (n,) f32) clamps the per-lane far plane below
+    TMAX: hits at t >= t_far are NOT returned (the lane reports miss).
+    Short-ray two-pass dispatch uses it to shrink packet unions — the
+    tight tf bound prunes traversal exactly like a prior closer hit.
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
@@ -341,13 +346,21 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         # cross-lane sums + conds exceed the skipped MT work.  Kept as
         # an opt-in for future hardware where branches are cheaper.
         leaf_gate = os.environ.get("VKPT_LEAF_GATE", "0") == "1"
+    if group_mt is None:
+        group_mt = int(os.environ.get("VKPT_GROUP_MT", "0"))
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
         + 4 * (direction[:, 2] < 0).astype(jnp.int32)
     )
-    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if t_far is None:
+        t_lane = jnp.full((n,), jnp.float32(TMAX))
+    else:
+        t_lane = jnp.broadcast_to(
+            jnp.minimum(jnp.asarray(t_far, jnp.float32),
+                        jnp.float32(TMAX)), (n,)
+        )
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
 
@@ -363,7 +376,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     miss_bits = float(
         np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0]
     )
-    rays = jnp.stack(
+    stacked = jnp.stack(
         [
             pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
             pad1(direction[:, 0]), pad1(direction[:, 1]),
@@ -375,7 +388,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
             jnp.zeros((total,), jnp.float32),
         ],
         axis=0,
-    ).reshape(12, n_groups, INTERLEAVE, packet).transpose(1, 2, 0, 3)
+    )
 
     oct_padded = jnp.pad(octant, (0, pad))
     group_oct = oct_padded.reshape(n_groups, group)[:, 0]
@@ -387,6 +400,20 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         [scene.bvh_packed[:, 0:6], meta_i.astype(jnp.float32)], axis=1
     ).reshape(scene.bvh_orders, n_nodes, 8)
 
+    if group_mt > 0:
+        sub = packet // _LANE
+        rays = stacked.reshape(12, n_groups, sub, _LANE).transpose(
+            1, 0, 2, 3).reshape(n_groups, 12 * sub, _LANE)
+        out = _packet_traverse_gmt(nodes8, scene.tri_blocks, rays,
+                                   group_oct, interpret=interpret,
+                                   gf=group_mt)
+        out = out.transpose(1, 0, 2).reshape(4, total)[:, :n]
+        t = out[0]
+        tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+        return Hit(t=t, tri=tri, u=out[2], v=out[3])
+
+    rays = stacked.reshape(12, n_groups, INTERLEAVE, packet).transpose(
+        1, 2, 0, 3)
     out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
                            interpret=interpret, leaf_gate=leaf_gate)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
@@ -420,6 +447,253 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
     tri_bytes = tri_rows * 512          # (L, 36) -> lane-padded
     state = 8 * PACKET * INTERLEAVE * 4 * 4 * 2
     return (2 * node_bytes + tri_bytes + state) < budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# Group-MT variant: leaf Moller-Trumbore on DYNAMIC sublane groups.
+#
+# After the bounce sort, the ~dozen rays that box-hit a given leaf are
+# contiguous in the packet, so they land in 1-2 of the (8, 128)-row
+# sublane groups.  The earlier per-group lax.cond gate LOST 15-21%
+# (cond bodies carrying vector state inhibit Mosaic's pipelining —
+# experiments/mosaic_costs.py).  This kernel keeps control flow FIXED
+# and moves the data instead: every leaf visit intersects exactly GF
+# groups addressed by a *dynamic sublane offset* (the first hitting
+# group, computed from per-group cross-lane sums that replace the
+# descend `any()`), falling back to full-width MT only when hits span
+# more than GF groups (rare; the replay is idempotent — a replayed
+# triangle has t == t_best, never < , so results are identical).
+#
+# Ray components and the hit state live in VMEM (rays reshaped to
+# (12*sub, 128) rows; state in a (4*sub, 128) scratch) because vregs
+# cannot be sliced at dynamic offsets but VMEM rows can (dynamic
+# sublane start, static lanes — the same constraint the node table
+# already exploits).  tri ids are stored as f32 VALUES (< 2^24 exact).
+#
+# Leaf visits whose box mask is empty (the packet reached the leaf in
+# preorder without any lane hitting it) skip MT entirely — the
+# baseline kernel pays full-width MT for those.
+# ---------------------------------------------------------------------------
+def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
+                     gf: int):
+    sub = packet // _LANE
+    ngrp = sub // 8
+
+    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref,
+               state_ref):
+        del octant_ref
+
+        comps = [rays_ref[0, i * sub:(i + 1) * sub, :] for i in range(12)]
+
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        inv = [sinv(comps[3]), sinv(comps[4]), sinv(comps[5])]
+        oinv = [comps[0] * inv[0], comps[1] * inv[1], comps[2] * inv[2]]
+        tl_full = comps[6]
+
+        # Seed state: t rows [0,sub), tri-as-f32 [sub,2sub), u, v.
+        state_ref[0:sub, :] = comps[7]
+        state_ref[sub:2 * sub, :] = jax.lax.bitcast_convert_type(
+            comps[8], jnp.int32
+        ).astype(jnp.float32)
+        state_ref[2 * sub:3 * sub, :] = comps[9]
+        state_ref[3 * sub:4 * sub, :] = comps[10]
+
+        def mt_rows(o3, d3, tlg, tg, trig, ug, vg, leaf_i):
+            """MT of the leaf block against a row set; returns updated
+            (t, tri, u, v).  Same arithmetic as the baseline kernel."""
+            ox, oy, oz = o3
+            dx, dy, dz = d3
+            row = leaf_i // block
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                t_lim = jnp.minimum(tg, tlg)
+                hit = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t < t_lim))
+                tg = jnp.where(hit, t, tg)
+                trig = jnp.where(hit, jnp.float32(1.0) * (leaf_i + k),
+                                 trig)
+                ug = jnp.where(hit, u, ug)
+                vg = jnp.where(hit, v, vg)
+            return tg, trig, ug, vg
+
+        def cond(state):
+            return state[0] < n_nodes
+
+        def body(state):
+            (node,) = state
+            nd = jnp.minimum(node, n_nodes - 1)
+            live = node < n_nodes
+            b = [nodes_ref[0, nd, i] for i in range(6)]
+            skip_i = nodes_ref[0, nd, 6].astype(jnp.int32)
+            leaf_f = nodes_ref[0, nd, 7]
+            leaf_i = leaf_f.astype(jnp.int32)
+            ix, iy, iz = inv
+            oxi, oyi, ozi = oinv
+            t_best_full = state_ref[0:sub, :]
+            t_lim = jnp.minimum(t_best_full, tl_full)
+            tx0 = b[0] * ix - oxi
+            tx1 = b[3] * ix - oxi
+            ty0 = b[1] * iy - oyi
+            ty1 = b[4] * iy - oyi
+            tz0 = b[2] * iz - ozi
+            tz1 = b[5] * iz - ozi
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1),
+                            jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1),
+                            jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), t_lim),
+            )
+            bh_f = jnp.where(tn <= tf, 1.0, 0.0)
+            # Per-group hit counts replace the descend any(): the G
+            # cross-lane sums pipeline (~108 cyc for 8 — mosaic_costs).
+            sg = [jnp.sum(bh_f[g * 8:(g + 1) * 8, :]) for g in range(ngrp)]
+            total = sg[0]
+            for g in range(1, ngrp):
+                total = total + sg[g]
+            any_hit = total > 0.0
+            is_leaf = leaf_f >= 0.0
+
+            @pl.when(jnp.logical_and(jnp.logical_and(is_leaf, live),
+                                     any_hit))
+            def leaf_case():
+                first = jnp.int32(ngrp - 1)
+                last = jnp.int32(0)
+                for g in range(ngrp - 1, -1, -1):
+                    first = jnp.where(sg[g] > 0.0, jnp.int32(g), first)
+                for g in range(ngrp):
+                    last = jnp.where(sg[g] > 0.0, jnp.int32(g), last)
+                span = last - first
+
+                for i in range(gf):
+                    g = jnp.minimum(first + i, jnp.int32(ngrp - 1))
+                    r0 = g * 8
+
+                    def rrow(comp_i):
+                        return rays_ref[0, pl.ds(comp_i * sub + r0, 8), :]
+
+                    def srow(field):
+                        return state_ref[pl.ds(field * sub + r0, 8), :]
+
+                    o3 = (rrow(0), rrow(1), rrow(2))
+                    d3 = (rrow(3), rrow(4), rrow(5))
+                    tg, trig, ug, vg = mt_rows(
+                        o3, d3, rrow(6), srow(0), srow(1), srow(2),
+                        srow(3), leaf_i,
+                    )
+                    state_ref[pl.ds(0 * sub + r0, 8), :] = tg
+                    state_ref[pl.ds(1 * sub + r0, 8), :] = trig
+                    state_ref[pl.ds(2 * sub + r0, 8), :] = ug
+                    state_ref[pl.ds(3 * sub + r0, 8), :] = vg
+
+                @pl.when(span >= gf)
+                def full_mt():
+                    # Hits span more than GF groups: replay full width
+                    # (idempotent — replayed triangles have t == t_best).
+                    tg, trig, ug, vg = mt_rows(
+                        (comps[0], comps[1], comps[2]),
+                        (comps[3], comps[4], comps[5]),
+                        tl_full,
+                        state_ref[0:sub, :],
+                        state_ref[sub:2 * sub, :],
+                        state_ref[2 * sub:3 * sub, :],
+                        state_ref[3 * sub:4 * sub, :],
+                        leaf_i,
+                    )
+                    state_ref[0:sub, :] = tg
+                    state_ref[sub:2 * sub, :] = trig
+                    state_ref[2 * sub:3 * sub, :] = ug
+                    state_ref[3 * sub:4 * sub, :] = vg
+
+            nxt = jnp.where(
+                is_leaf, skip_i,
+                jnp.where(any_hit, node + 1, skip_i),
+            )
+            return (jnp.where(live, nxt, node),)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0),))
+        out_ref[0, 0, :] = state_ref[0:sub, :].reshape(-1)
+        out_ref[0, 1, :] = jax.lax.bitcast_convert_type(
+            state_ref[sub:2 * sub, :].astype(jnp.int32), jnp.float32
+        ).reshape(-1)
+        out_ref[0, 2, :] = state_ref[2 * sub:3 * sub, :].reshape(-1)
+        out_ref[0, 3, :] = state_ref[3 * sub:4 * sub, :].reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "gf"))
+def _packet_traverse_gmt(nodes8, tris, rays, octants, *, interpret=False,
+                         gf=1):
+    """nodes8: (8, Nn, 8) f32; tris: (n_leaves, block*9) f32;
+    rays: (G, 12*sub, 128) f32 row-major comp rows; octants: (G,) i32.
+    Returns (G, 4, PACKET) f32."""
+    _, n_nodes, _ = nodes8.shape
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, rows12, _ = rays.shape
+    sub = rows12 // 12
+    packet = sub * _LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows12, _LANE),
+                         lambda i, octs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, packet),
+                               lambda i, octs: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4 * sub, _LANE), jnp.float32)],
+    )
+    kernel = _make_gmt_kernel(n_nodes, block, packet, TMIN, gf)
+    need = 2 * n_nodes * 512 + n_leaves * 512 + 8 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(octants, nodes8, tris, rays)
 
 
 # ---------------------------------------------------------------------------
