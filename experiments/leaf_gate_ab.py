@@ -74,6 +74,8 @@ def bounce_rays(dev, W=1920, H=1080):
         key = _bounce_sort_key(dev, o2, d2, alive)
         order = jnp.argsort(key)
         prev_block = jnp.maximum(prev_tri, 0) // dev.max_leaf_size
+        if os.environ.get("UNSORTED") == "1":
+            return o2, d2, alive, prev_block
         return (o2[order], d2[order], alive[order], prev_block[order])
 
     return make()
@@ -196,6 +198,134 @@ def main():
                              jax.jit(lambda T0=T0: pass1_only(T0))))
             variants.append((f"two-pass p{p}   ",
                              jax.jit(lambda T0=T0: two_pass(T0))))
+    elif which == "cascade":
+        # Windowed-cascade traversal (run with UNSORTED=1): pass k
+        # traverses only the t-slab [b_k, b_k+1) with survivors
+        # re-sorted each pass (found rays keyed to the end -> their
+        # packets go all-dead and exit in ~2 node visits).  Short
+        # windows mean tight tf bounds -> small packet unions.
+        from vulkan_pathtracer_tpu.ops.intersect import MISS_T as _MISS
+        from vulkan_pathtracer_tpu.render.wavefront import _bounce_sort_key
+
+        lo_r = dev.bvh_packed[0, 0:3]
+        hi_r = dev.bvh_packed[0, 3:6]
+        diag = float(jnp.linalg.norm(np.asarray(hi_r) - np.asarray(lo_r)))
+        print(f"scene diag: {diag:.2f}", flush=True)
+
+        def cascade(fracs, pk=8192, gmt=1):
+            bounds = [0.0] + [f * diag for f in fracs] + [float("inf")]
+
+            def fn():
+                n = o.shape[0]
+                t = jnp.full((n,), jnp.float32(_MISS))
+                tri = jnp.full((n,), -1, jnp.int32)
+                uu = jnp.zeros((n,), jnp.float32)
+                vv = jnp.zeros((n,), jnp.float32)
+                found = jnp.zeros((n,), bool)
+                for k in range(len(bounds) - 1):
+                    blo, bhi = bounds[k], bounds[k + 1]
+                    a = jnp.logical_and(alive, ~found)
+                    key = _bounce_sort_key(dev, o, d, a)
+                    order = jnp.argsort(key)
+                    h = pallas_closest_hit(
+                        dev, o[order], d[order], a[order], packet=pk,
+                        group_mt=gmt,
+                        t_near=(None if k == 0 else blo),
+                        t_far=(None if bhi == float("inf") else bhi),
+                    )
+                    got = h.t < _MISS
+                    t = t.at[order].set(jnp.where(got, h.t, t[order]))
+                    tri = tri.at[order].set(
+                        jnp.where(got, h.tri, tri[order]))
+                    uu = uu.at[order].set(jnp.where(got, h.u, uu[order]))
+                    vv = vv.at[order].set(jnp.where(got, h.v, vv[order]))
+                    found = found.at[order].set(
+                        jnp.logical_or(got, found[order]))
+                from vulkan_pathtracer_tpu.ops.intersect import Hit as _H
+                return _H(t=t, tri=tri, u=uu, v=vv)
+
+            return jax.jit(fn)
+
+        def sorted_base(pk, gmt):
+            def fn():
+                key = _bounce_sort_key(dev, o, d, alive)
+                order = jnp.argsort(key)
+                return pallas_closest_hit(dev, o[order], d[order],
+                                          alive[order], packet=pk,
+                                          group_mt=gmt)
+            return jax.jit(fn)
+
+        variants = [
+            ("sorted pk8192 gmt1 ", sorted_base(8192, 1)),
+            ("casc .1/.3         ", cascade((0.1, 0.3))),
+            ("casc .07/.2/.45    ", cascade((0.07, 0.2, 0.45))),
+            ("casc .05/.12/.3    ", cascade((0.05, 0.12, 0.3))),
+            ("casc .15           ", cascade((0.15,))),
+        ]
+    elif which == "key":
+        # Sort-key shootout: octant+origin-Morton (prod) vs endpoint-
+        # pair keys (bin rays by origin AND expected hit point so a
+        # packet shares both ends of its segment).  Run with UNSORTED=1.
+        from vulkan_pathtracer_tpu.render.wavefront import (
+            _bounce_sort_key, _interleave10,
+        )
+
+        lo = dev.bvh_packed[0, 0:3]
+        hi = dev.bvh_packed[0, 3:6]
+        ext = jnp.maximum(hi - lo, 1e-9)
+        diag = float(jnp.linalg.norm(ext))
+
+        def m10(p, bits=10):
+            q = jnp.clip((p - lo) / ext * (2.0 ** bits - 1), 0.0,
+                         2.0 ** bits - 1).astype(jnp.uint32)
+            return (_interleave10(q[:, 0]) | (_interleave10(q[:, 1]) << 1)
+                    | (_interleave10(q[:, 2]) << 2))
+
+        def key_prod():
+            return _bounce_sort_key(dev, o, d, alive)
+
+        def key_endpoint(L, o_bits):
+            # Top o_bits of origin Morton (major) | top (28 - o_bits)
+            # of endpoint Morton (minor); <= 28 bits total.
+            e_bits = 28 - o_bits
+            mo = m10(o) >> jnp.uint32(30 - o_bits)
+            me = m10(o + L * d) >> jnp.uint32(30 - e_bits)
+            k = (mo << jnp.uint32(e_bits)) | me
+            return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
+
+        def key_6d(L):
+            # Interleaved origin/endpoint Morton (5 bits/axis each).
+            qo = jnp.clip((o - lo) / ext * 31.0, 0.0, 31.0).astype(
+                jnp.uint32)
+            pe = o + L * d
+            qe = jnp.clip((pe - lo) / ext * 31.0, 0.0, 31.0).astype(
+                jnp.uint32)
+            k = jnp.zeros(o.shape[0], jnp.uint32)
+            for b in range(4, -1, -1):
+                for comp in (qo[:, 0], qo[:, 1], qo[:, 2],
+                             qe[:, 0], qe[:, 1], qe[:, 2]):
+                    k = (k << jnp.uint32(1)) | ((comp >> jnp.uint32(b))
+                                                & jnp.uint32(1))
+            return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
+
+        def run_with(keyfn):
+            def fn():
+                order = jnp.argsort(keyfn())
+                return pallas_closest_hit(dev, o[order], d[order],
+                                          alive[order], packet=8192,
+                                          group_mt=1)
+            return jax.jit(fn)
+
+        L1 = 0.15 * diag
+        variants = [
+            ("prod oct+morton ", run_with(key_prod)),
+            ("endpoint L=.15dg", run_with(lambda: key_endpoint(L1, 12))),
+            ("endpoint L=.3dg ", run_with(
+                lambda: key_endpoint(0.3 * diag, 12))),
+            ("endpt8 L=.15dg  ", run_with(lambda: key_endpoint(L1, 8))),
+            ("6d L=.15dg      ", run_with(lambda: key_6d(L1))),
+            ("6d L=.3dg       ", run_with(lambda: key_6d(0.3 * diag))),
+        ]
     elif which == "seed":
         # Exact t-seeding: intersect each bounce ray against its
         # ORIGIN's leaf block first (leaf_seed_hit); any hit is a valid

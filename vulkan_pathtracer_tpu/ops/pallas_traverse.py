@@ -90,6 +90,12 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
         oinv = [[comps[c][0] * inv[c][0],
                  comps[c][1] * inv[c][1],
                  comps[c][2] * inv[c][2]] for c in range(C)]
+        # Channel 11: per-lane CLOSED lower bound t_near (0 = off).
+        # Windowed-cascade dispatch restricts each pass to a t-slab
+        # [t_near, t_far); slab tn includes it and MT accepts t >=
+        # t_near, so window passes tile [tmin, inf) exactly.
+        tnears = [jnp.maximum(comps[c][11], jnp.float32(tmin))
+                  for c in range(C)]
 
         # Seeded initial state (channels 7-10: t, bitcast tri, u, v) —
         # a valid prior hit tightens t_best from the first visit.
@@ -133,7 +139,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                 tn = jnp.maximum(
                     jnp.maximum(jnp.minimum(tx0, tx1),
                                 jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tnears[c]),
                 )
                 tf = jnp.minimum(
                     jnp.minimum(jnp.maximum(tx0, tx1),
@@ -167,6 +173,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                         oxg, oyg, ozg = ox[sl], oy[sl], oz[sl]
                         dxg, dyg, dzg = dx[sl], dy[sl], dz[sl]
                         tlg = tl[sl]
+                        tng = tnears[c][sl]
                         for k in range(block):
                             base = k * 9
                             v0x = tris_ref[row, base + 0]
@@ -196,7 +203,7 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                             t_lim = jnp.minimum(t_best, tlg)
                             hit = (front & (u >= 0.0) & (v >= 0.0)
                                    & (u + v <= 1.0) & (t > tmin)
-                                   & (t < t_lim))
+                                   & (t >= tng) & (t < t_lim))
                             t_best = jnp.where(hit, t, t_best)
                             tri_best = jnp.where(hit, leaf_i + k, tri_best)
                             u_best = jnp.where(hit, u, u_best)
@@ -323,7 +330,8 @@ def _seed_channels(n, seed):
 def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False, seed=None,
                        packet: int = None, leaf_gate: bool = None,
-                       t_far=None, group_mt: int = None) -> Hit:
+                       t_far=None, t_near=None,
+                       group_mt: int = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -333,8 +341,11 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     t_best from the first node visit without changing results.
     ``t_far`` (scalar or (n,) f32) clamps the per-lane far plane below
     TMAX: hits at t >= t_far are NOT returned (the lane reports miss).
-    Short-ray two-pass dispatch uses it to shrink packet unions — the
-    tight tf bound prunes traversal exactly like a prior closer hit.
+    ``t_near`` (scalar or (n,) f32) is a CLOSED per-lane lower bound:
+    only hits with t >= t_near are returned and traversal skips boxes
+    entirely below it.  Together they restrict a pass to the t-slab
+    [t_near, t_far) so windowed-cascade passes tile [tmin, inf)
+    exactly (boundary hits land in exactly one window).
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
@@ -348,6 +359,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         leaf_gate = os.environ.get("VKPT_LEAF_GATE", "0") == "1"
     if group_mt is None:
         group_mt = int(os.environ.get("VKPT_GROUP_MT", "0"))
+    if packet < 2048:
+        group_mt = 0  # needs >= 2 sublane groups of (8, 128)
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -385,7 +398,9 @@ def pallas_closest_hit(scene, origin, direction, active=None,
             pad1(st, float(MISS_T)),
             pad1(strif, miss_bits),
             pad1(su), pad1(sv),
-            jnp.zeros((total,), jnp.float32),
+            (jnp.zeros((total,), jnp.float32) if t_near is None
+             else pad1(jnp.broadcast_to(
+                 jnp.asarray(t_near, jnp.float32), (n,)))),
         ],
         axis=0,
     )
@@ -494,6 +509,8 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
         inv = [sinv(comps[3]), sinv(comps[4]), sinv(comps[5])]
         oinv = [comps[0] * inv[0], comps[1] * inv[1], comps[2] * inv[2]]
         tl_full = comps[6]
+        # Channel 11: per-lane CLOSED lower bound t_near (0 = off).
+        tnear_full = jnp.maximum(comps[11], jnp.float32(tmin))
 
         # Seed state: t rows [0,sub), tri-as-f32 [sub,2sub), u, v.
         state_ref[0:sub, :] = comps[7]
@@ -503,7 +520,7 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
         state_ref[2 * sub:3 * sub, :] = comps[9]
         state_ref[3 * sub:4 * sub, :] = comps[10]
 
-        def mt_rows(o3, d3, tlg, tg, trig, ug, vg, leaf_i):
+        def mt_rows(o3, d3, tlg, tng, tg, trig, ug, vg, leaf_i):
             """MT of the leaf block against a row set; returns updated
             (t, tri, u, v).  Same arithmetic as the baseline kernel."""
             ox, oy, oz = o3
@@ -537,7 +554,8 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 t_lim = jnp.minimum(tg, tlg)
                 hit = (front & (u >= 0.0) & (v >= 0.0)
-                       & (u + v <= 1.0) & (t > tmin) & (t < t_lim))
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tng)
+                       & (t < t_lim))
                 tg = jnp.where(hit, t, tg)
                 trig = jnp.where(hit, jnp.float32(1.0) * (leaf_i + k),
                                  trig)
@@ -569,7 +587,7 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
             tn = jnp.maximum(
                 jnp.maximum(jnp.minimum(tx0, tx1),
                             jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), jnp.float32(tmin)),
+                jnp.maximum(jnp.minimum(tz0, tz1), tnear_full),
             )
             tf = jnp.minimum(
                 jnp.minimum(jnp.maximum(tx0, tx1),
@@ -609,8 +627,9 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
 
                     o3 = (rrow(0), rrow(1), rrow(2))
                     d3 = (rrow(3), rrow(4), rrow(5))
+                    tng = jnp.maximum(rrow(11), jnp.float32(tmin))
                     tg, trig, ug, vg = mt_rows(
-                        o3, d3, rrow(6), srow(0), srow(1), srow(2),
+                        o3, d3, rrow(6), tng, srow(0), srow(1), srow(2),
                         srow(3), leaf_i,
                     )
                     state_ref[pl.ds(0 * sub + r0, 8), :] = tg
@@ -626,6 +645,7 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
                         (comps[0], comps[1], comps[2]),
                         (comps[3], comps[4], comps[5]),
                         tl_full,
+                        tnear_full,
                         state_ref[0:sub, :],
                         state_ref[sub:2 * sub, :],
                         state_ref[2 * sub:3 * sub, :],

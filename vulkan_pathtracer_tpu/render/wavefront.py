@@ -139,14 +139,18 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             if prefer_packet:
                 import os
 
-                # PK=4096 measured +17% over 2048 on sorted atrium
-                # bounce rays (experiments/leaf_gate_ab; 8192 is worse
-                # again) — bigger packets amortize the per-visit
-                # scalar/sync overhead until vector work dominates.
-                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 4096))
+                # PK=8192 with group-MT leaves (gf=1) measured best on
+                # sorted atrium bounce rays (experiments/leaf_gate_ab:
+                # +13% over the pk4096 baseline) — cheap leaf MT shifts
+                # the packet-size optimum up (bigger packets amortize
+                # per-visit scalar/sync overhead; leaf work no longer
+                # scales with packet width).
+                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 8192))
+                gmt = int(os.environ.get("VKPT_GROUP_MT_SECONDARY", "1"))
                 return pallas_closest_hit(
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed, packet=pk,
+                    group_mt=gmt,
                 )
             if dense_fits_vmem(scene):
                 return pallas_dense_closest_hit(
