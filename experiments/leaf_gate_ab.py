@@ -88,9 +88,18 @@ def main():
     from vulkan_pathtracer_tpu.ops.pallas_traverse import pallas_closest_hit
 
     detail = float(sys.argv[1]) if len(sys.argv) > 1 else 4.1
-    path = os.path.join(tempfile.gettempdir(), f"bench_atrium_{detail}.glb")
-    if not os.path.exists(path):
-        make_atrium(path, detail=detail)
+    if os.environ.get("SCENE") == "columns":
+        from assets.procedural import make_columns
+
+        path = os.path.join(tempfile.gettempdir(),
+                            f"bench_columns_{detail}.glb")
+        if not os.path.exists(path):
+            make_columns(path, grid=int(detail), segments=24)
+    else:
+        path = os.path.join(tempfile.gettempdir(),
+                            f"bench_atrium_{detail}.glb")
+        if not os.path.exists(path):
+            make_atrium(path, detail=detail)
     scene = gltf.load(path)
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=8)
     print(f"tris={dev.num_triangles}", flush=True)
@@ -145,6 +154,12 @@ def main():
                 dev, o, d, alive, packet=4096, leaf_gate=False)),
             ("packet pk2048", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=2048, leaf_gate=False)),
+            ("pk4096 gmt1  ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, group_mt=1)),
+            ("pk8192 gmt1  ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=1)),
+            ("pk8192 gmt2  ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=2)),
         ]
     elif which == "prod":
         variants = [
@@ -198,6 +213,19 @@ def main():
                              jax.jit(lambda T0=T0: pass1_only(T0))))
             variants.append((f"two-pass p{p}   ",
                              jax.jit(lambda T0=T0: two_pass(T0))))
+    elif which == "spec":
+        variants = [
+            ("pk8192 gmt1      ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=1)),
+            ("pk8192 gmt1 spec2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=8192, group_mt=1, spec=True)),
+            ("pk4096 gmt1 spec2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, group_mt=1, spec=True)),
+            ("pk16384 gmt1 spec2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=16384, group_mt=1, spec=True)),
+            ("pk16384 gmt2 spec2", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=16384, group_mt=2, spec=True)),
+        ]
     elif which == "cascade":
         # Windowed-cascade traversal (run with UNSORTED=1): pass k
         # traverses only the t-slab [b_k, b_k+1) with survivors

@@ -331,7 +331,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False, seed=None,
                        packet: int = None, leaf_gate: bool = None,
                        t_far=None, t_near=None,
-                       group_mt: int = None) -> Hit:
+                       group_mt: int = None, spec: bool = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -359,8 +359,11 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         leaf_gate = os.environ.get("VKPT_LEAF_GATE", "0") == "1"
     if group_mt is None:
         group_mt = int(os.environ.get("VKPT_GROUP_MT", "0"))
+    if spec is None:
+        spec = os.environ.get("VKPT_SPEC2", "0") == "1"
     if packet < 2048:
         group_mt = 0  # needs >= 2 sublane groups of (8, 128)
+        spec = False
 
     octant = (
         (direction[:, 0] < 0).astype(jnp.int32)
@@ -421,7 +424,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
             1, 0, 2, 3).reshape(n_groups, 12 * sub, _LANE)
         out = _packet_traverse_gmt(nodes8, scene.tri_blocks, rays,
                                    group_oct, interpret=interpret,
-                                   gf=group_mt)
+                                   gf=group_mt, spec=spec)
         out = out.transpose(1, 0, 2).reshape(4, total)[:, :n]
         t = out[0]
         tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -674,9 +677,250 @@ def _make_gmt_kernel(n_nodes: int, block: int, packet: int, tmin: float,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "gf"))
+# ---------------------------------------------------------------------------
+# Spec-2 variant: 2-level speculative advance per serial sync.
+#
+# The packet kernel's per-visit critical path is LATENCY-bound: scalar
+# node loads -> slab -> cross-lane reduction (~100 cyc) -> branch, and
+# the reduction cannot pipeline across iterations because the next
+# node id depends on it.  But INDEPENDENT reductions pipeline almost
+# perfectly (8 sums ~ 108 cyc total — experiments/mosaic_costs.py).
+# So each iteration slab-tests THREE nodes concurrently — the cursor
+# n and both possible successors n+1 and skip(n) — and advances TWO
+# levels per sync:
+#
+#   next1 = leaf(n)    ? skip(n) : any(n)     ? n+1    : skip(n)
+#   next2 = leaf(next1)? skip(n1): any(next1) ? next1+1: skip(next1)
+#
+# next1's box mask/leafness/skip are selected from the two speculated
+# candidates (already tested); only next2's test is deferred to the
+# next iteration.  1.5 slab tests per advance instead of 1.0, but
+# half the serial syncs.  Successor tests use t_best as of the
+# iteration start (pre-MT) — a LOOSER bound than the baseline's, so
+# speculation can only add box-hit false positives (extra visits),
+# never lose hits; MT itself re-checks against live t_best in
+# scratch.  Leaf MT reuses the group-MT path for both visited nodes.
+# ---------------------------------------------------------------------------
+def _make_gmt2_kernel(n_nodes: int, block: int, packet: int, tmin: float,
+                      gf: int):
+    sub = packet // _LANE
+    ngrp = sub // 8
+
+    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref,
+               state_ref):
+        del octant_ref
+
+        comps = [rays_ref[0, i * sub:(i + 1) * sub, :] for i in range(12)]
+
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        inv = [sinv(comps[3]), sinv(comps[4]), sinv(comps[5])]
+        oinv = [comps[0] * inv[0], comps[1] * inv[1], comps[2] * inv[2]]
+        tl_full = comps[6]
+        tnear_full = jnp.maximum(comps[11], jnp.float32(tmin))
+
+        state_ref[0:sub, :] = comps[7]
+        state_ref[sub:2 * sub, :] = jax.lax.bitcast_convert_type(
+            comps[8], jnp.int32
+        ).astype(jnp.float32)
+        state_ref[2 * sub:3 * sub, :] = comps[9]
+        state_ref[3 * sub:4 * sub, :] = comps[10]
+
+        def mt_rows(o3, d3, tlg, tng, tg, trig, ug, vg, leaf_i):
+            ox, oy, oz = o3
+            dx, dy, dz = d3
+            row = leaf_i // block
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                t_lim = jnp.minimum(tg, tlg)
+                hit = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tng)
+                       & (t < t_lim))
+                tg = jnp.where(hit, t, tg)
+                trig = jnp.where(hit, jnp.float32(1.0) * (leaf_i + k),
+                                 trig)
+                ug = jnp.where(hit, u, ug)
+                vg = jnp.where(hit, v, vg)
+            return tg, trig, ug, vg
+
+        def visit_leaf(leaf_i, sg):
+            """Group-MT a leaf given its per-group hit counts."""
+            first = jnp.int32(ngrp - 1)
+            last = jnp.int32(0)
+            for g in range(ngrp - 1, -1, -1):
+                first = jnp.where(sg[g] > 0.0, jnp.int32(g), first)
+            for g in range(ngrp):
+                last = jnp.where(sg[g] > 0.0, jnp.int32(g), last)
+            span = last - first
+
+            for i in range(gf):
+                g = jnp.minimum(first + i, jnp.int32(ngrp - 1))
+                r0 = g * 8
+
+                def rrow(comp_i):
+                    return rays_ref[0, pl.ds(comp_i * sub + r0, 8), :]
+
+                def srow(field):
+                    return state_ref[pl.ds(field * sub + r0, 8), :]
+
+                o3 = (rrow(0), rrow(1), rrow(2))
+                d3 = (rrow(3), rrow(4), rrow(5))
+                tng = jnp.maximum(rrow(11), jnp.float32(tmin))
+                tg, trig, ug, vg = mt_rows(
+                    o3, d3, rrow(6), tng, srow(0), srow(1), srow(2),
+                    srow(3), leaf_i,
+                )
+                state_ref[pl.ds(0 * sub + r0, 8), :] = tg
+                state_ref[pl.ds(1 * sub + r0, 8), :] = trig
+                state_ref[pl.ds(2 * sub + r0, 8), :] = ug
+                state_ref[pl.ds(3 * sub + r0, 8), :] = vg
+
+            @pl.when(span >= gf)
+            def full_mt():
+                tg, trig, ug, vg = mt_rows(
+                    (comps[0], comps[1], comps[2]),
+                    (comps[3], comps[4], comps[5]),
+                    tl_full,
+                    tnear_full,
+                    state_ref[0:sub, :],
+                    state_ref[sub:2 * sub, :],
+                    state_ref[2 * sub:3 * sub, :],
+                    state_ref[3 * sub:4 * sub, :],
+                    leaf_i,
+                )
+                state_ref[0:sub, :] = tg
+                state_ref[sub:2 * sub, :] = trig
+                state_ref[2 * sub:3 * sub, :] = ug
+                state_ref[3 * sub:4 * sub, :] = vg
+
+        def cond(state):
+            return state[0] < n_nodes
+
+        def body(state):
+            (node,) = state
+            ix, iy, iz = inv
+            oxi, oyi, ozi = oinv
+            t_best_full = state_ref[0:sub, :]
+            t_lim = jnp.minimum(t_best_full, tl_full)
+
+            nd0 = jnp.minimum(node, n_nodes - 1)
+            skip0 = nodes_ref[0, nd0, 6].astype(jnp.int32)
+            leaf0_f = nodes_ref[0, nd0, 7]
+            # Candidates: A = n+1, B = skip(n).
+            ndA = jnp.minimum(node + 1, n_nodes - 1)
+            ndB = jnp.minimum(skip0, n_nodes - 1)
+
+            def slab_sums(nd):
+                b = [nodes_ref[0, nd, i] for i in range(6)]
+                tx0 = b[0] * ix - oxi
+                tx1 = b[3] * ix - oxi
+                ty0 = b[1] * iy - oyi
+                ty1 = b[4] * iy - oyi
+                tz0 = b[2] * iz - ozi
+                tz1 = b[5] * iz - ozi
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tnear_full),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_lim),
+                )
+                bh_f = jnp.where(tn <= tf, 1.0, 0.0)
+                sg = [jnp.sum(bh_f[g * 8:(g + 1) * 8, :])
+                      for g in range(ngrp)]
+                total = sg[0]
+                for g in range(1, ngrp):
+                    total = total + sg[g]
+                return sg, total
+
+            sg0, tot0 = slab_sums(nd0)
+            sgA, totA = slab_sums(ndA)
+            sgB, totB = slab_sums(ndB)
+
+            live0 = node < n_nodes
+            is_leaf0 = leaf0_f >= 0.0
+
+            @pl.when(jnp.logical_and(jnp.logical_and(is_leaf0, live0),
+                                     tot0 > 0.0))
+            def _():
+                visit_leaf(leaf0_f.astype(jnp.int32), sg0)
+
+            # next1 and its (already computed) test results.
+            next1 = jnp.where(
+                is_leaf0, skip0,
+                jnp.where(tot0 > 0.0, node + 1, skip0),
+            )
+            next1 = jnp.where(live0, next1, node)
+            from_A = next1 == node + 1
+            skipA = nodes_ref[0, ndA, 6].astype(jnp.int32)
+            leafA_f = nodes_ref[0, ndA, 7]
+            skipB = nodes_ref[0, ndB, 6].astype(jnp.int32)
+            leafB_f = nodes_ref[0, ndB, 7]
+            skip1 = jnp.where(from_A, skipA, skipB)
+            leaf1_f = jnp.where(from_A, leafA_f, leafB_f)
+            tot1 = jnp.where(from_A, totA, totB)
+            sg1 = [jnp.where(from_A, sgA[g], sgB[g]) for g in range(ngrp)]
+
+            live1 = next1 < n_nodes
+            is_leaf1 = leaf1_f >= 0.0
+
+            @pl.when(jnp.logical_and(jnp.logical_and(is_leaf1, live1),
+                                     tot1 > 0.0))
+            def _():
+                visit_leaf(leaf1_f.astype(jnp.int32), sg1)
+
+            next2 = jnp.where(
+                is_leaf1, skip1,
+                jnp.where(tot1 > 0.0, next1 + 1, skip1),
+            )
+            next2 = jnp.where(live1, next2, next1)
+            return (next2,)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0),))
+        out_ref[0, 0, :] = state_ref[0:sub, :].reshape(-1)
+        out_ref[0, 1, :] = jax.lax.bitcast_convert_type(
+            state_ref[sub:2 * sub, :].astype(jnp.int32), jnp.float32
+        ).reshape(-1)
+        out_ref[0, 2, :] = state_ref[2 * sub:3 * sub, :].reshape(-1)
+        out_ref[0, 3, :] = state_ref[3 * sub:4 * sub, :].reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "gf", "spec"))
 def _packet_traverse_gmt(nodes8, tris, rays, octants, *, interpret=False,
-                         gf=1):
+                         gf=1, spec=False):
     """nodes8: (8, Nn, 8) f32; tris: (n_leaves, block*9) f32;
     rays: (G, 12*sub, 128) f32 row-major comp rows; octants: (G,) i32.
     Returns (G, 4, PACKET) f32."""
@@ -704,7 +948,10 @@ def _packet_traverse_gmt(nodes8, tris, rays, octants, *, interpret=False,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((4 * sub, _LANE), jnp.float32)],
     )
-    kernel = _make_gmt_kernel(n_nodes, block, packet, TMIN, gf)
+    if spec:
+        kernel = _make_gmt2_kernel(n_nodes, block, packet, TMIN, gf)
+    else:
+        kernel = _make_gmt_kernel(n_nodes, block, packet, TMIN, gf)
     need = 2 * n_nodes * 512 + n_leaves * 512 + 8 * 1024 * 1024
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(

@@ -372,17 +372,45 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
 
 
 def _bounce_sort_key(scene, origin, direction, alive):
-    """(direction octant, origin Morton) sort key; dead lanes to the
-    end (same layout as _closest_hit_sorted's default key)."""
+    """Bounce-ray sort key; dead lanes to the end.  Two layouts:
+
+    - "6d" (default): interleaved origin/endpoint Morton, 5 bits per
+      axis each, endpoint = origin + 0.3*diag*direction.  Binning by
+      BOTH ends of the working segment beat octant+origin-Morton by
+      26% on atrium secondaries (experiments/leaf_gate_ab VARIANTS=key:
+      1080 ms vs 1361 ms at pk8192+group-MT) — packets share origin
+      cell AND direction corridor.  Packets may mix direction octants
+      (the kernel stages the majority octant's linearization; ordering
+      affects only efficiency, never results).
+    - "octant" (VKPT_SORT_KEY=octant): direction octant (3 bits) |
+      origin Morton — the round-1/2 key, kept for A/B.
+    """
+    import os
+
     octant = (
         (direction[:, 0] < 0).astype(jnp.uint32)
         + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
         + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
     )
-    if scene.has_bvh:
-        lo = scene.bvh_packed[0, 0:3]
-        hi = scene.bvh_packed[0, 3:6]
-        ext = jnp.maximum(hi - lo, 1e-9)
+    if not scene.has_bvh:
+        return jnp.where(alive, octant, jnp.uint32(0xFFFFFFFF))
+    lo = scene.bvh_packed[0, 0:3]
+    hi = scene.bvh_packed[0, 3:6]
+    ext = jnp.maximum(hi - lo, 1e-9)
+    if os.environ.get("VKPT_SORT_KEY", "6d") == "6d":
+        frac = float(os.environ.get("VKPT_SORT_L", "0.3"))
+        L = frac * jnp.linalg.norm(ext)
+        qo = jnp.clip((origin - lo) / ext * 31.0, 0.0, 31.0).astype(
+            jnp.uint32)
+        qe = jnp.clip((origin + L * direction - lo) / ext * 31.0,
+                      0.0, 31.0).astype(jnp.uint32)
+        key = jnp.zeros(origin.shape[0], jnp.uint32)
+        for b in range(4, -1, -1):
+            for comp in (qo[:, 0], qo[:, 1], qo[:, 2],
+                         qe[:, 0], qe[:, 1], qe[:, 2]):
+                key = (key << jnp.uint32(1)) | (
+                    (comp >> jnp.uint32(b)) & jnp.uint32(1))
+    else:
         q = jnp.clip((origin - lo) / ext * 1023.0, 0.0, 1023.0).astype(
             jnp.uint32
         )
@@ -392,8 +420,6 @@ def _bounce_sort_key(scene, origin, direction, alive):
             | (_interleave10(q[:, 2]) << 2)
         )
         key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
-    else:
-        key = octant
     return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
 
 
