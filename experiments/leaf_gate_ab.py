@@ -101,8 +101,9 @@ def main():
         if not os.path.exists(path):
             make_atrium(path, detail=detail)
     scene = gltf.load(path)
-    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=8)
-    print(f"tris={dev.num_triangles}", flush=True)
+    leaf = int(os.environ.get("AB_LEAF", "8"))
+    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=leaf)
+    print(f"tris={dev.num_triangles} leaf={leaf}", flush=True)
 
     if os.environ.get("VARIANTS") == "prim":
         # Tile-ordered PRIMARY rays instead of bounce rays.
@@ -321,7 +322,7 @@ def main():
             k = (mo << jnp.uint32(e_bits)) | me
             return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
 
-        def key_6d(L):
+        def key_6d_raw(L):
             # Interleaved origin/endpoint Morton (5 bits/axis each).
             qo = jnp.clip((o - lo) / ext * 31.0, 0.0, 31.0).astype(
                 jnp.uint32)
@@ -334,7 +335,11 @@ def main():
                              qe[:, 0], qe[:, 1], qe[:, 2]):
                     k = (k << jnp.uint32(1)) | ((comp >> jnp.uint32(b))
                                                 & jnp.uint32(1))
-            return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
+            return k
+
+        def key_6d(L):
+            return jnp.where(alive, key_6d_raw(L),
+                             jnp.uint32(0xFFFFFFFF))
 
         def run_with(keyfn):
             def fn():
@@ -345,15 +350,72 @@ def main():
             return jax.jit(fn)
 
         L1 = 0.15 * diag
+        def key_oct6d(L):
+            oc = (
+                (d[:, 0] < 0).astype(jnp.uint32)
+                + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+                + 4 * (d[:, 2] < 0).astype(jnp.uint32)
+            )
+            k = (oc << jnp.uint32(28)) | (key_6d_raw(L) >> jnp.uint32(4))
+            return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
+
         variants = [
             ("prod oct+morton ", run_with(key_prod)),
-            ("endpoint L=.15dg", run_with(lambda: key_endpoint(L1, 12))),
-            ("endpoint L=.3dg ", run_with(
-                lambda: key_endpoint(0.3 * diag, 12))),
-            ("endpt8 L=.15dg  ", run_with(lambda: key_endpoint(L1, 8))),
-            ("6d L=.15dg      ", run_with(lambda: key_6d(L1))),
             ("6d L=.3dg       ", run_with(lambda: key_6d(0.3 * diag))),
+            ("6d L=.5dg       ", run_with(lambda: key_6d(0.5 * diag))),
+            ("6d L=.7dg       ", run_with(lambda: key_6d(0.7 * diag))),
+            ("oct|6d L=.3dg   ", run_with(lambda: key_oct6d(0.3 * diag))),
+            ("oct|6d L=.5dg   ", run_with(lambda: key_oct6d(0.5 * diag))),
         ]
+    elif which == "final":
+        # Combined config pick (run with UNSORTED=1, AB_LEAF=N): key x
+        # packet at the current leaf size, same rays, one process.
+        from vulkan_pathtracer_tpu.render.wavefront import _interleave10
+
+        lo = dev.bvh_packed[0, 0:3]
+        hi = dev.bvh_packed[0, 3:6]
+        ext = jnp.maximum(hi - lo, 1e-9)
+        diag = float(jnp.linalg.norm(np.asarray(hi) - np.asarray(lo)))
+
+        def k6d_raw(L):
+            qo = jnp.clip((o - lo) / ext * 31.0, 0.0, 31.0).astype(
+                jnp.uint32)
+            qe = jnp.clip((o + L * d - lo) / ext * 31.0, 0.0,
+                          31.0).astype(jnp.uint32)
+            k = jnp.zeros(o.shape[0], jnp.uint32)
+            for b in range(4, -1, -1):
+                for comp in (qo[:, 0], qo[:, 1], qo[:, 2],
+                             qe[:, 0], qe[:, 1], qe[:, 2]):
+                    k = (k << jnp.uint32(1)) | ((comp >> jnp.uint32(b))
+                                                & jnp.uint32(1))
+            return k
+
+        def k_oct6d(L):
+            oc = (
+                (d[:, 0] < 0).astype(jnp.uint32)
+                + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+                + 4 * (d[:, 2] < 0).astype(jnp.uint32)
+            )
+            k = (oc << jnp.uint32(28)) | (k6d_raw(L) >> jnp.uint32(4))
+            return jnp.where(alive, k, jnp.uint32(0xFFFFFFFF))
+
+        def k_6d(L):
+            return jnp.where(alive, k6d_raw(L), jnp.uint32(0xFFFFFFFF))
+
+        def runv(keyfn, pk):
+            def fn():
+                order = jnp.argsort(keyfn())
+                return pallas_closest_hit(dev, o[order], d[order],
+                                          alive[order], packet=pk,
+                                          leaf_gate=False)
+            return jax.jit(fn)
+
+        variants = []
+        for kname, kf in (("6d.5", lambda: k_6d(0.5 * diag)),
+                          ("oc6d.3", lambda: k_oct6d(0.3 * diag)),
+                          ("oc6d.5", lambda: k_oct6d(0.5 * diag))):
+            for pk in (3072, 4096):
+                variants.append((f"{kname} pk{pk}", runv(kf, pk)))
     elif which == "seed":
         # Exact t-seeding: intersect each bounce ray against its
         # ORIGIN's leaf block first (leaf_seed_hit); any hit is a valid

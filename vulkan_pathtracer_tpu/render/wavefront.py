@@ -139,14 +139,15 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             if prefer_packet:
                 import os
 
-                # PK=8192 with group-MT leaves (gf=1) measured best on
-                # sorted atrium bounce rays (experiments/leaf_gate_ab:
-                # +13% over the pk4096 baseline) — cheap leaf MT shifts
-                # the packet-size optimum up (bigger packets amortize
-                # per-visit scalar/sync overhead; leaf work no longer
-                # scales with packet width).
-                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 8192))
-                gmt = int(os.environ.get("VKPT_GROUP_MT_SECONDARY", "1"))
+                # Under the 6d endpoint-pair sort key (L=0.5*diag)
+                # with leaf blocks of 14, pk3072 with plain leaves is
+                # the measured best (830 ms on atrium secondaries vs
+                # 1123 at pk4096/leaf8) — endpoint binning localizes
+                # leaf hits so group-MT no longer pays for itself.
+                # Under VKPT_SORT_KEY=octant, pk8192 + group_mt=1 was
+                # best (+13%); retune if the key changes.
+                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 3072))
+                gmt = int(os.environ.get("VKPT_GROUP_MT_SECONDARY", "0"))
                 return pallas_closest_hit(
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed, packet=pk,
@@ -176,55 +177,16 @@ def _interleave10(v):
 
 def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
                         seed=None, phase: str = "secondary"):
-    """Sort rays by (direction octant, origin Morton) before traversal
-    so packets stay coherent (2-3x on bounce rays under the Pallas
-    packet kernel; dead rays cluster at the end and their packets
-    terminate immediately), then scatter results back to pixel order.
-    Per-ray results are identical to the unsorted dispatch."""
-    import os
-
-    octant = (
-        (direction[:, 0] < 0).astype(jnp.uint32)
-        + 2 * (direction[:, 1] < 0).astype(jnp.uint32)
-        + 4 * (direction[:, 2] < 0).astype(jnp.uint32)
+    """Sort rays by the bounce key (_bounce_sort_key: 6d endpoint-pair
+    Morton by default) before traversal so packets stay coherent (2-3x
+    on bounce rays under the Pallas packet kernel; dead rays cluster at
+    the end and their packets terminate immediately), then scatter
+    results back to pixel order.  Per-ray results are identical to the
+    unsorted dispatch."""
+    key = _bounce_sort_key(
+        scene, origin, direction,
+        jnp.ones(origin.shape[0], bool) if active is None else active,
     )
-    if scene.has_bvh:
-        # Scene bounds = octant-0 root node of the packed BVH.
-        lo = scene.bvh_packed[0, 0:3]
-        hi = scene.bvh_packed[0, 3:6]
-        ext = jnp.maximum(hi - lo, 1e-9)
-        q = jnp.clip((origin - lo) / ext * 1023.0, 0.0, 1023.0).astype(
-            jnp.uint32
-        )
-        morton = (
-            _interleave10(q[:, 0])
-            | (_interleave10(q[:, 1]) << 1)
-            | (_interleave10(q[:, 2]) << 2)
-        )
-        # Key layouts (VKPT_SORT_KEY): "oct" = direction octant then
-        # origin Morton (default); "dir<B>" = B extra direction bits
-        # per axis interleaved ahead of the Morton bits (tighter
-        # direction bundles, coarser origin locality).
-        key_kind = os.environ.get("VKPT_SORT_KEY", "oct")
-        if key_kind.startswith("dir"):
-            bits = int(key_kind[3:] or 1)
-            dq = jnp.clip(
-                (direction * 0.5 + 0.5) * ((1 << bits) - 0.001),
-                0.0, float((1 << bits) - 1),
-            ).astype(jnp.uint32)
-            dirb = (
-                (dq[:, 0] << jnp.uint32(2 * bits))
-                | (dq[:, 1] << jnp.uint32(bits))
-                | dq[:, 2]
-            )
-            shift = jnp.uint32(32 - 3 * bits)
-            key = (dirb << shift) | (morton >> jnp.uint32(3 * bits - 2))
-        else:
-            key = (octant << jnp.uint32(28)) | (morton >> jnp.uint32(2))
-    else:
-        key = octant
-    if active is not None:
-        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
     # Inverse permutation via scatter (O(n)), not a second argsort.
     inv = jnp.zeros_like(order).at[order].set(
@@ -378,7 +340,9 @@ def _bounce_sort_key(scene, origin, direction, alive):
       axis each, endpoint = origin + 0.3*diag*direction.  Binning by
       BOTH ends of the working segment beat octant+origin-Morton by
       26% on atrium secondaries (experiments/leaf_gate_ab VARIANTS=key:
-      1080 ms vs 1361 ms at pk8192+group-MT) — packets share origin
+      1080 ms vs 1361 ms at pk8192+group-MT; L=0.5*diag another +10%,
+      and with leaf blocks of 14 the best measured stack is 830 ms at
+      pk3072 = 1.8x over the round-2 octant default) — packets share
       cell AND direction corridor.  Packets may mix direction octants
       (the kernel stages the majority octant's linearization; ordering
       affects only efficiency, never results).
@@ -398,7 +362,7 @@ def _bounce_sort_key(scene, origin, direction, alive):
     hi = scene.bvh_packed[0, 3:6]
     ext = jnp.maximum(hi - lo, 1e-9)
     if os.environ.get("VKPT_SORT_KEY", "6d") == "6d":
-        frac = float(os.environ.get("VKPT_SORT_L", "0.3"))
+        frac = float(os.environ.get("VKPT_SORT_L", "0.5"))
         L = frac * jnp.linalg.norm(ext)
         qo = jnp.clip((origin - lo) / ext * 31.0, 0.0, 31.0).astype(
             jnp.uint32)
