@@ -87,7 +87,7 @@ def main() -> int:
         if not os.path.exists(scene_path):
             makers[scene_kind](scene_path)
 
-    max_leaf = int(os.environ.get("BENCH_LEAF", 8))
+    max_leaf = int(os.environ.get("BENCH_LEAF", 14))
     scene = gltf.load(scene_path)
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=max_leaf)
     print(

@@ -40,7 +40,7 @@ def bounce_rays(glb_path, W, H):
     from vulkan_pathtracer_tpu.render.wavefront import _bounce_sort_key
 
     scene = gltf.load(glb_path)
-    dev = build_device_scene(scene, max_leaf_size=8)
+    dev = build_device_scene(scene)
     cam = Camera(aspect_ratio=W / H)
     orbit_path(radius=4.5, height=2.2, duration=4.0,
                center=(0.0, 1.2, 0.0)).apply(cam, 0.0)
@@ -154,7 +154,41 @@ def main():
     rng = np.random.default_rng(0)
     n = oo.shape[0]
 
-    for pk in (4096, 8192, 16384):
+    # Per-ray ideal (sampled): nodes/leaf-hits with exact t pruning.
+    live_idx = np.nonzero(al)[0]
+    sample = rng.choice(live_idx, size=400, replace=False)
+    tot_n = tot_l = 0
+    for ri in sample:
+        o1, d1 = oo[ri], dd[ri]
+        i1 = 1.0 / np.where(np.abs(d1) < 1e-20, 1e-20, d1)
+        oct_ = int((d1[0] < 0) + 2 * (d1[1] < 0) + 4 * (d1[2] < 0))
+        f = ftab[oct_]
+        nn = f.shape[0]
+        t_best = 1e4
+        node = 0
+        while node < nn:
+            tot_n += 1
+            row = f[node]
+            tx0 = (row[0] - o1[0]) * i1[0]
+            tx1 = (row[3] - o1[0]) * i1[0]
+            ty0 = (row[1] - o1[1]) * i1[1]
+            ty1 = (row[4] - o1[1]) * i1[1]
+            tz0 = (row[2] - o1[2]) * i1[2]
+            tz1 = (row[5] - o1[2]) * i1[2]
+            tn = max(min(tx0, tx1), min(ty0, ty1), min(tz0, tz1), 0.001)
+            tf = min(max(tx0, tx1), max(ty0, ty1), max(tz0, tz1), t_best)
+            hit = tn <= tf
+            if row[7] >= 0:
+                if hit:
+                    tot_l += 1
+                    t_best = min(t_best, tf)  # box proxy for MT prune
+                node = int(row[6])
+            else:
+                node = node + 1 if hit else int(row[6])
+    print(f"per-ray ideal: nodes={tot_n/400:.1f} leaf-visits={tot_l/400:.1f}",
+          flush=True)
+
+    for pk in (2048, 3072, 4096):
         starts = rng.choice(n // pk - 1, size=12, replace=False) * pk
         tn = tl = th = 0
         for s in starts:
