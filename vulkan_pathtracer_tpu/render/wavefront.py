@@ -122,32 +122,36 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 scene, origin, direction, active, interpret=not on_tpu,
                 seed=seed,
             )
-        # Default fast paths.  Primary (tile-coherent) packets favor
-        # the dense-row run kernel (advances many nodes per serial
-        # iteration); bounce packets advance ~1-2 nodes per row and
-        # measured ~20% faster on the one-node-per-visit packet kernel
-        # (atrium 260k: 2.61 s vs 2.14 s full frame) — so "auto"
-        # dispatches by wavefront phase, falling back across kernels
-        # by VMEM fit.
+        # Default fast path: the one-node-per-visit packet kernel for
+        # BOTH phases, with phase-tuned packet sizes.  With leaf-14
+        # blocks it beats the dense-row kernel on tile-ordered
+        # primaries too (89.5 vs 199.2 ms on the 1080p atrium — the
+        # dense kernel's full-width MT over 3 on-chain leaf slots per
+        # row scales with leaf size; the packet kernel's per-leaf MT
+        # does not revisit off-chain nodes).  The dense kernel remains
+        # the dispatch for instanced scenes (only instance-aware
+        # kernel) and a VMEM-fit fallback tier.
         if traversal == "pallas" or (
             traversal == "auto" and on_tpu
         ):
-            prefer_packet = (
-                traversal == "auto" and phase == "secondary"
-                and fits_vmem(scene)
-            )
-            if prefer_packet:
+            if fits_vmem(scene):
                 import os
 
-                # Under the 6d endpoint-pair sort key (L=0.5*diag)
-                # with leaf blocks of 14, pk3072 with plain leaves is
-                # the measured best (830 ms on atrium secondaries vs
-                # 1123 at pk4096/leaf8) — endpoint binning localizes
-                # leaf hits so group-MT no longer pays for itself.
-                # Under VKPT_SORT_KEY=octant, pk8192 + group_mt=1 was
-                # best (+13%); retune if the key changes.
-                pk = int(os.environ.get("VKPT_PACKET_SECONDARY", 3072))
-                gmt = int(os.environ.get("VKPT_GROUP_MT_SECONDARY", "0"))
+                if phase == "secondary":
+                    # 6d endpoint-pair sort key (L=0.5*diag) + leaf-14
+                    # + pk3072 plain is the measured best (830 ms on
+                    # atrium secondaries vs 1123 at pk4096/leaf8).
+                    # Under VKPT_SORT_KEY=octant, pk8192 + group_mt=1
+                    # was best instead; retune if the key changes.
+                    pk = int(os.environ.get(
+                        "VKPT_PACKET_SECONDARY", 3072))
+                    gmt = int(os.environ.get(
+                        "VKPT_GROUP_MT_SECONDARY", "0"))
+                else:
+                    pk = int(os.environ.get(
+                        "VKPT_PACKET_PRIMARY", 4096))
+                    gmt = int(os.environ.get(
+                        "VKPT_GROUP_MT_PRIMARY", "0"))
                 return pallas_closest_hit(
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed, packet=pk,
@@ -155,11 +159,6 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 )
             if dense_fits_vmem(scene):
                 return pallas_dense_closest_hit(
-                    scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed,
-                )
-            if fits_vmem(scene):
-                return pallas_closest_hit(
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed,
                 )
