@@ -28,18 +28,31 @@ from vulkan_pathtracer_tpu.render.pipeline import render_frame
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vkpt_trace"
-    path = "/tmp/bench_columns_14_24.glb"
-    if not os.path.exists(path):
-        make_columns(path, grid=14, segments=24, n_materials=32)
+    leaf = int(os.environ.get("LEAF", 14))
+    if os.environ.get("SCENE") == "atrium":
+        from assets.procedural import make_atrium
+
+        detail = float(os.environ.get("DETAIL", 4.1))
+        path = f"/tmp/bench_atrium_{detail}.glb"
+        if not os.path.exists(path):
+            make_atrium(path, detail=detail)
+    else:
+        path = "/tmp/bench_columns_14_24.glb"
+        if not os.path.exists(path):
+            make_columns(path, grid=14, segments=24, n_materials=32)
     scene = gltf.load(path)
-    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=8)
-    root_min = np.asarray(dev.bvh_packed[0, 0:3])
-    root_max = np.asarray(dev.bvh_packed[0, 3:6])
-    ext = float(np.max(root_max - root_min))
-    c = (root_min + root_max) * 0.5
+    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=leaf)
     cam = Camera(aspect_ratio=1920 / 1080)
-    orbit_path(radius=0.75 * ext, height=0.35 * ext,
-               center=tuple(c)).apply(cam, 0.0)
+    if os.environ.get("SCENE") == "atrium":
+        orbit_path(radius=4.5, height=2.2, duration=4.0,
+                   center=(0.0, 1.2, 0.0)).apply(cam, 0.0)
+    else:
+        root_min = np.asarray(dev.bvh_packed[0, 0:3])
+        root_max = np.asarray(dev.bvh_packed[0, 3:6])
+        ext = float(np.max(root_max - root_min))
+        c = (root_min + root_max) * 0.5
+        orbit_path(radius=0.75 * ext, height=0.35 * ext,
+                   center=tuple(c)).apply(cam, 0.0)
     pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
 
     def frame(f):

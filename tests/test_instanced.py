@@ -126,6 +126,25 @@ def test_instanced_dense_kernel_matches_xla(scenes):
     assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
 
 
+def test_instanced_packet_kernel_matches_xla(scenes):
+    """The packet kernel's instanced leaf decode (object-space packet
+    transform + det_sign winding) must match the XLA traversal, like
+    the dense kernel's."""
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+        fits_vmem,
+        pallas_closest_hit,
+    )
+
+    _, _, inst = scenes
+    assert fits_vmem(inst)
+    o, d = _rays(1200, seed=7)
+    ref = bvh_closest_hit(inst, o, d)
+    got = pallas_closest_hit(inst, o, d, interpret=True, packet=2048)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+
+
 def test_update_instance_transforms(scenes):
     """O(transforms) animation: moving instances on-device must match
     a flat re-bake of the transformed host scene."""

@@ -65,11 +65,16 @@ _LANE = 128
 
 
 def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
-                 tmin: float, leaf_gate: bool = True):
+                 tmin: float, leaf_gate: bool = True,
+                 instanced: bool = False, mb_bits: int = 0):
     sub = packet // _LANE
 
-    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
-        del octant_ref  # consumed by the index map only
+    def kernel(octant_ref, nodes_ref, tris_ref, *rest):
+        if instanced:
+            inst_ref, rays_ref, out_ref = rest
+        else:
+            inst_ref = None
+            rays_ref, out_ref = rest
 
         comps = []
         for c in range(C):
@@ -166,7 +171,23 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                     # candidate).
                     t_best, tri_best, u_best, v_best = args
                     ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
-                    row = leaf_i // block
+                    if instanced:
+                        # Packed leaf: (inst << mb_bits | global mesh
+                        # block).  Transform the packet into object
+                        # space (world t preserved: the object-space
+                        # direction stays unnormalized); cull on world
+                        # winding via det_sign (same contract as the
+                        # dense kernel, instanced_scene.py).
+                        inst = leaf_i >> mb_bits
+                        row = leaf_i & ((1 << mb_bits) - 1)
+                        m = [inst_ref[inst, f] for f in range(13)]
+                        det_sign = m[12]
+                        tri_base = leaf_i * block
+                    else:
+                        row = leaf_i // block
+                        m = None
+                        det_sign = None
+                        tri_base = leaf_i
 
                     def mt_group(sl, args):
                         t_best, tri_best, u_best, v_best = args
@@ -174,6 +195,18 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                         dxg, dyg, dzg = dx[sl], dy[sl], dz[sl]
                         tlg = tl[sl]
                         tng = tnears[c][sl]
+                        if instanced:
+                            nox = m[0] * oxg + m[1] * oyg + m[2] * ozg \
+                                + m[9]
+                            noy = m[3] * oxg + m[4] * oyg + m[5] * ozg \
+                                + m[10]
+                            noz = m[6] * oxg + m[7] * oyg + m[8] * ozg \
+                                + m[11]
+                            ndx = m[0] * dxg + m[1] * dyg + m[2] * dzg
+                            ndy = m[3] * dxg + m[4] * dyg + m[5] * dzg
+                            ndz = m[6] * dxg + m[7] * dyg + m[8] * dzg
+                            oxg, oyg, ozg = nox, noy, noz
+                            dxg, dyg, dzg = ndx, ndy, ndz
                         for k in range(block):
                             base = k * 9
                             v0x = tris_ref[row, base + 0]
@@ -189,7 +222,10 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                             py = dzg * e2x - dxg * e2z
                             pz = dxg * e2y - dyg * e2x
                             det = e1x * px + e1y * py + e1z * pz
-                            front = det > 0.0
+                            if det_sign is not None:
+                                front = det * det_sign > 0.0
+                            else:
+                                front = det > 0.0
                             inv_det = 1.0 / jnp.where(front, det, 1.0)
                             tx = oxg - v0x
                             ty = oyg - v0y
@@ -205,7 +241,8 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                                    & (u + v <= 1.0) & (t > tmin)
                                    & (t >= tng) & (t < t_lim))
                             t_best = jnp.where(hit, t, t_best)
-                            tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                            tri_best = jnp.where(hit, tri_base + k,
+                                                 tri_best)
                             u_best = jnp.where(hit, u, u_best)
                             v_best = jnp.where(hit, v, v_best)
                         return t_best, tri_best, u_best, v_best
@@ -266,38 +303,54 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "leaf_gate"))
-def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False,
-                     leaf_gate=True):
+@functools.partial(jax.jit, static_argnames=("interpret", "leaf_gate",
+                                             "mb_bits"))
+def _packet_traverse(nodes8, tris, rays, octants, inst_inv=None, *,
+                     interpret=False, leaf_gate=True, mb_bits=0):
     """nodes8: (8, Nn, 8) f32 (bmin|bmax|skip|leaf as float values);
     tris: (n_leaves, block*9) f32; rays: (G, C, 12, PACKET) f32;
-    octants: (G,) int32.  Returns (G, C, 4, PACKET) f32."""
+    octants: (G,) int32; inst_inv: optional (I, 16) instance inverse
+    transforms (two-level scenes).  Returns (G, C, 4, PACKET) f32."""
     _, n_nodes, _ = nodes8.shape
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, C, _, packet = rays.shape
+    instanced = inst_inv is not None
 
+    in_specs = [
+        pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [octants, nodes8, tris]
+    if instanced:
+        in_specs.append(
+            pl.BlockSpec(inst_inv.shape, lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(inst_inv)
+    in_specs.append(
+        pl.BlockSpec((1, C, 12, packet), lambda i, octs: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(rays)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 12, packet),
-                         lambda i, octs: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, C, 4, packet),
                                lambda i, octs: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = _make_kernel(n_nodes, block, packet, C, TMIN,
-                          leaf_gate=leaf_gate)
+                          leaf_gate=leaf_gate, instanced=instanced,
+                          mb_bits=mb_bits)
     # Default scoped-VMEM limit is 16MB; v5e has 128MB — size the limit
     # to the (lane-padded) tables + state, capped below the hardware.
     need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    if instanced:
+        need += inst_inv.shape[0] * 512
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -305,7 +358,7 @@ def _packet_traverse(nodes8, tris, rays, octants, *, interpret=False,
         out_shape=jax.ShapeDtypeStruct((g, C, 4, packet), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(octants, nodes8, tris, rays)
+    )(*args)
 
 
 def _seed_channels(n, seed):
@@ -418,6 +471,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         [scene.bvh_packed[:, 0:6], meta_i.astype(jnp.float32)], axis=1
     ).reshape(scene.bvh_orders, n_nodes, 8)
 
+    if group_mt > 0 and getattr(scene, "instanced", False):
+        group_mt = 0  # gmt/spec kernels are not instance-aware
     if group_mt > 0:
         sub = packet // _LANE
         rays = stacked.reshape(12, n_groups, sub, _LANE).transpose(
@@ -432,8 +487,14 @@ def pallas_closest_hit(scene, origin, direction, active=None,
 
     rays = stacked.reshape(12, n_groups, INTERLEAVE, packet).transpose(
         1, 2, 0, 3)
-    out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
-                           interpret=interpret, leaf_gate=leaf_gate)
+    if getattr(scene, "instanced", False):
+        out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
+                               scene.inst_inv, interpret=interpret,
+                               leaf_gate=leaf_gate,
+                               mb_bits=scene.mb_bits)
+    else:
+        out = _packet_traverse(nodes8, scene.tri_blocks, rays, group_oct,
+                               interpret=interpret, leaf_gate=leaf_gate)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -464,6 +525,8 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
     tri_rows = scene.tri_blocks.shape[0]
     tri_bytes = tri_rows * 512          # (L, 36) -> lane-padded
     state = 8 * PACKET * INTERLEAVE * 4 * 4 * 2
+    if getattr(scene, "instanced", False):
+        state += scene.inst_inv.shape[0] * 512
     return (2 * node_bytes + tri_bytes + state) < budget_bytes
 
 

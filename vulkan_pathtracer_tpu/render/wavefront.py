@@ -68,26 +68,37 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                  seed=None, phase: str = "primary"):
     if getattr(scene, "instanced", False):
         # Two-level scenes: packed leaf values need the instanced leaf
-        # decode — dense Pallas kernel on TPU, XLA traversal otherwise
-        # (brute force / packet / wide kernels are not instance-aware).
+        # decode.  The packet kernel carries it too now (object-space
+        # transform per leaf visit, same contract as the dense kernel)
+        # and is the faster dispatch at leaf-14 blocks; dense remains
+        # the VMEM-fit fallback, XLA traversal after that.
+        import os as _os
+
         import jax
 
         from vulkan_pathtracer_tpu.ops.pallas_traverse import (
             dense_fits_vmem,
+            fits_vmem,
+            pallas_closest_hit,
             pallas_dense_closest_hit,
         )
 
         on_tpu = jax.default_backend() == "tpu"
-        if (traversal in ("pallas", "auto") and on_tpu
-                and dense_fits_vmem(scene)):
-            return pallas_dense_closest_hit(
-                scene, origin, direction, active, interpret=False,
-                seed=seed,
+        run_pallas = traversal == "pallas" or (
+            traversal == "auto" and on_tpu)  # auto off-TPU -> XLA path
+        if run_pallas and fits_vmem(scene):
+            pk_env = ("VKPT_PACKET_SECONDARY" if phase == "secondary"
+                      else "VKPT_PACKET_PRIMARY")
+            pk = int(_os.environ.get(
+                pk_env, 3072 if phase == "secondary" else 4096))
+            return pallas_closest_hit(
+                scene, origin, direction, active,
+                interpret=not on_tpu, seed=seed, packet=pk,
             )
-        if traversal == "pallas" and dense_fits_vmem(scene):
+        if run_pallas and dense_fits_vmem(scene):
             return pallas_dense_closest_hit(
-                scene, origin, direction, active, interpret=True,
-                seed=seed,
+                scene, origin, direction, active,
+                interpret=not on_tpu, seed=seed,
             )
         return bvh_closest_hit(scene, origin, direction, active,
                                seed=seed)
