@@ -22,6 +22,7 @@ reference's inner sample loop (ray_gen.rgen:44).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -79,9 +80,11 @@ def _pixel_seeds(width: int, height: int, frame, y_offset=0,
 
 # Target rays per dispatch chunk.  Bigger chunks = denser bounce-sort
 # key space (unions shrink): 131k -> 524k chunks measured +5% on the
-# atrium headline; beyond that the gain saturates while HBM temp
-# pressure grows.
-DEFAULT_RAY_CHUNK = 1 << 19
+# atrium headline; beyond that the gain saturated under the octant
+# key while HBM temp pressure grows.  VKPT_RAY_CHUNK overrides (the
+# 6d endpoint key may reward denser global sorts — A/B before
+# changing the default).
+DEFAULT_RAY_CHUNK = int(os.environ.get("VKPT_RAY_CHUNK", 1 << 19))
 
 # Primary rays are dispatched in 2D image tiles, not scanlines: a
 # 2048-ray traversal packet drawn from a 32x64 pixel tile shares a
