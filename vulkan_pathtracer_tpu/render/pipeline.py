@@ -91,8 +91,8 @@ DEFAULT_RAY_CHUNK = int(os.environ.get("VKPT_RAY_CHUNK", 1 << 19))
 # tight frustum, while a scanline packet spans the whole image width.
 # Measured on the 56k-tri headline scene: union node-visits per packet
 # drop ~10x (322 -> 31).  Pure scheduling — per-pixel results unchanged.
-TILE_H = 32
-TILE_W = 64
+TILE_H = int(os.environ.get("VKPT_TILE_H", 32))
+TILE_W = int(os.environ.get("VKPT_TILE_W", 64))
 
 
 def _tile_order(rows: int, width: int):
