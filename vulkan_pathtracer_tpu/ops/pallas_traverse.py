@@ -423,6 +423,11 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
         + 4 * (direction[:, 2] < 0).astype(jnp.int32)
     )
+    if scene.bvh_orders == 1:
+        # Single canonical linearization (octant_order=False): every
+        # packet stages block 0 — an octant block index would run off
+        # the (1, ...) node array and crash the backend.
+        octant = jnp.zeros_like(octant)
     if t_far is None:
         t_lane = jnp.full((n,), jnp.float32(TMAX))
     else:
@@ -1227,6 +1232,11 @@ def pallas_wide_closest_hit(scene, origin, direction, active=None,
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
         + 4 * (direction[:, 2] < 0).astype(jnp.int32)
     )
+    if scene.bvh_orders == 1:
+        # Single canonical linearization (octant_order=False): every
+        # packet stages block 0 — an octant block index would run off
+        # the (1, ...) node array and crash the backend.
+        octant = jnp.zeros_like(octant)
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
@@ -1655,6 +1665,11 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
         + 4 * (direction[:, 2] < 0).astype(jnp.int32)
     )
+    if scene.bvh_orders == 1:
+        # Single canonical linearization (octant_order=False): every
+        # packet stages block 0 — an octant block index would run off
+        # the (1, ...) node array and crash the backend.
+        octant = jnp.zeros_like(octant)
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
