@@ -214,6 +214,19 @@ def main():
                              jax.jit(lambda T0=T0: pass1_only(T0))))
             variants.append((f"two-pass p{p}   ",
                              jax.jit(lambda T0=T0: two_pass(T0))))
+    elif which == "pipe":
+        variants = [
+            ("pk3072 baseline", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("pk3072 pipe    ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=3072, pipe=True)),
+            ("pk2048 pipe    ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=2048, pipe=True)),
+            ("pk4096 pipe    ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=4096, pipe=True)),
+            ("pk1536 pipe    ", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=1536, pipe=True)),
+        ]
     elif which == "spec":
         variants = [
             ("pk8192 gmt1      ", lambda: pallas_closest_hit(

@@ -384,7 +384,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
                        interpret=False, seed=None,
                        packet: int = None, leaf_gate: bool = None,
                        t_far=None, t_near=None,
-                       group_mt: int = None, spec: bool = None) -> Hit:
+                       group_mt: int = None, spec: bool = None,
+                       pipe: bool = None) -> Hit:
     """Drop-in closest-hit using the packet kernel.
 
     Pads the ray set to a PACKET*INTERLEAVE multiple; inactive/padding
@@ -414,6 +415,10 @@ def pallas_closest_hit(scene, origin, direction, active=None,
         group_mt = int(os.environ.get("VKPT_GROUP_MT", "0"))
     if spec is None:
         spec = os.environ.get("VKPT_SPEC2", "0") == "1"
+    if pipe is None:
+        pipe = os.environ.get("VKPT_PIPE", "0") == "1"
+    if pipe and getattr(scene, "instanced", False):
+        pipe = False  # pipe kernel is not instance-aware
     if packet < 2048:
         group_mt = 0  # needs >= 2 sublane groups of (8, 128)
         spec = False
@@ -438,7 +443,7 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
 
-    group = packet * INTERLEAVE
+    group = packet * (2 if pipe else INTERLEAVE)
     pad = (-n) % group
     total = n + pad
     n_groups = total // group
@@ -478,6 +483,15 @@ def pallas_closest_hit(scene, origin, direction, active=None,
 
     if group_mt > 0 and getattr(scene, "instanced", False):
         group_mt = 0  # gmt/spec kernels are not instance-aware
+    if pipe:
+        rays = stacked.reshape(12, n_groups, 2, packet).transpose(
+            1, 2, 0, 3)
+        out = _packet_traverse_pipe(nodes8, scene.tri_blocks, rays,
+                                    group_oct, interpret=interpret)
+        out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+        t = out[0]
+        tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+        return Hit(t=t, tri=tri, u=out[2], v=out[3])
     if group_mt > 0:
         sub = packet // _LANE
         rays = stacked.reshape(12, n_groups, sub, _LANE).transpose(
@@ -533,6 +547,220 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
     if getattr(scene, "instanced", False):
         state += scene.inst_inv.shape[0] * 512
     return (2 * node_bytes + tri_bytes + state) < budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# Pipelined-pair variant: cross-iteration reduction carry.
+#
+# The packet kernel's per-visit critical path is the synchronous
+# cross-lane reduction (~100 cyc) between the slab test and the
+# descend branch.  Same-iteration latency hiding is a measured dead
+# end (C-interleave flat; spec-2 0.80x — Mosaic schedules the chains
+# sequentially and waits at the consumer).  This kernel moves the
+# consumer a full loop iteration away instead: TWO independent packet
+# chains advance in one while body, and each chain's any()-sum is
+# ISSUED at the end of iteration i but CONSUMED at the start of
+# iteration i+1 — with the OTHER chain's scalar loads + slab test
+# emitted between issue and consume, the reduction's latency is
+# covered by real work even under in-order VLIW scheduling (VPU
+# reductions are pipelined: 8 independent sums retire in ~108 cyc).
+#
+#   carry: (nodeA, nodeB, pendA, pendB, hit-states)
+#   body : resolve A from pendA -> leaf MT (pre-MT t bound, exact) ->
+#          slab(nextA) -> issue pendA'   [B's slab covers this sum]
+#          resolve B from pendB -> slab(nextB) -> issue pendB'
+#          [A's resolve+slab next iteration covers this sum]
+#
+# Results are exact: the slab uses the chain's own live t_best and
+# the decide/MT logic is the baseline kernel's.
+# ---------------------------------------------------------------------------
+def _make_pipe_kernel(n_nodes: int, block: int, packet: int, tmin: float):
+    sub = packet // _LANE
+
+    def kernel(octant_ref, nodes_ref, tris_ref, rays_ref, out_ref):
+        del octant_ref
+
+        comps = [
+            [rays_ref[0, c, i, :].reshape(sub, _LANE) for i in range(12)]
+            for c in range(2)
+        ]
+
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        inv = [[sinv(comps[c][3]), sinv(comps[c][4]), sinv(comps[c][5])]
+               for c in range(2)]
+        oinv = [[comps[c][0] * inv[c][0],
+                 comps[c][1] * inv[c][1],
+                 comps[c][2] * inv[c][2]] for c in range(2)]
+        tnears = [jnp.maximum(comps[c][11], jnp.float32(tmin))
+                  for c in range(2)]
+
+        def slab_sum(c, nd, t_best):
+            b = [nodes_ref[0, nd, i] for i in range(6)]
+            ix, iy, iz = inv[c]
+            oxi, oyi, ozi = oinv[c]
+            tl = comps[c][6]
+            tx0 = b[0] * ix - oxi
+            tx1 = b[3] * ix - oxi
+            ty0 = b[1] * iy - oyi
+            ty1 = b[4] * iy - oyi
+            tz0 = b[2] * iz - ozi
+            tz1 = b[5] * iz - ozi
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1),
+                            jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), tnears[c]),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1),
+                            jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1),
+                            jnp.minimum(t_best, tl)),
+            )
+            return jnp.sum(jnp.where(tn <= tf, 1.0, 0.0))
+
+        def mt_leaf(c, leaf_i, args):
+            t_best, tri_best, u_best, v_best = args
+            ox, oy, oz, dx, dy, dz, tl = comps[c][:7]
+            tng = tnears[c]
+            row = leaf_i // block
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                t_lim = jnp.minimum(t_best, tl)
+                hit = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tng)
+                       & (t < t_lim))
+                t_best = jnp.where(hit, t, t_best)
+                tri_best = jnp.where(hit, leaf_i + k, tri_best)
+                u_best = jnp.where(hit, u, u_best)
+                v_best = jnp.where(hit, v, v_best)
+            return t_best, tri_best, u_best, v_best
+
+        t0s = [comps[c][7] for c in range(2)]
+        tri0s = [jax.lax.bitcast_convert_type(comps[c][8], jnp.int32)
+                 for c in range(2)]
+        u0s = [comps[c][9] for c in range(2)]
+        v0s = [comps[c][10] for c in range(2)]
+
+        # Prime: sums for node 0 of both chains.
+        pend0 = [slab_sum(c, jnp.int32(0), t0s[c]) for c in range(2)]
+
+        def cond(state):
+            nodes = state[0]
+            return jnp.logical_or(nodes[0] < n_nodes, nodes[1] < n_nodes)
+
+        def advance(c, node, pend, hitstate):
+            """Resolve the chain's current node from the CARRIED sum,
+            run leaf MT, then slab+issue the successor's sum."""
+            nd = jnp.minimum(node, n_nodes - 1)
+            live = node < n_nodes
+            skip_i = nodes_ref[0, nd, 6].astype(jnp.int32)
+            leaf_f = nodes_ref[0, nd, 7]
+            any_hit = pend > 0.0
+            is_leaf = leaf_f >= 0.0
+
+            hitstate = jax.lax.cond(
+                jnp.logical_and(jnp.logical_and(is_leaf, live), any_hit),
+                lambda a: mt_leaf(c, leaf_f.astype(jnp.int32), a),
+                lambda a: a, hitstate,
+            )
+            nxt = jnp.where(
+                is_leaf, skip_i,
+                jnp.where(any_hit, node + 1, skip_i),
+            )
+            nxt = jnp.where(live, nxt, node)
+            pend_n = slab_sum(c, jnp.minimum(nxt, n_nodes - 1),
+                              hitstate[0])
+            return nxt, pend_n, hitstate
+
+        def body(state):
+            (nodes, pends, hA, hB) = state
+            nA, pA, hA = advance(0, nodes[0], pends[0], hA)
+            nB, pB, hB = advance(1, nodes[1], pends[1], hB)
+            return ((nA, nB), (pA, pB), hA, hB)
+
+        init = (
+            (jnp.int32(0), jnp.int32(0)),
+            (pend0[0], pend0[1]),
+            (t0s[0], tri0s[0], u0s[0], v0s[0]),
+            (t0s[1], tri0s[1], u0s[1], v0s[1]),
+        )
+        _, _, hA, hB = jax.lax.while_loop(cond, body, init)
+        for c, h in ((0, hA), (1, hB)):
+            out_ref[0, c, 0, :] = h[0].reshape(-1)
+            out_ref[0, c, 1, :] = jax.lax.bitcast_convert_type(
+                h[1], jnp.float32
+            ).reshape(-1)
+            out_ref[0, c, 2, :] = h[2].reshape(-1)
+            out_ref[0, c, 3, :] = h[3].reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _packet_traverse_pipe(nodes8, tris, rays, octants, *, interpret=False):
+    """rays: (G, 2, 12, PACKET) — two pipelined chains per group.
+    Returns (G, 2, 4, PACKET) f32."""
+    _, n_nodes, _ = nodes8.shape
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, C, _, packet = rays.shape
+    assert C == 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, n_nodes, 8), lambda i, octs: (octs[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 12, packet),
+                         lambda i, octs: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 4, packet),
+                               lambda i, octs: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = _make_pipe_kernel(n_nodes, block, packet, TMIN)
+    need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 2, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(octants, nodes8, tris, rays)
 
 
 # ---------------------------------------------------------------------------
