@@ -499,8 +499,8 @@ def _panel_field(origin, du, dv, nu: int, nv: int, thickness: float,
     return out
 
 
-def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
-                ) -> None:
+def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32,
+                mixed: bool = False) -> None:
     """config[2]: Sponza-class stand-in — an ENCLOSED two-story atrium
     (Sponza is an interior courtyard, not an open field): paneled
     floor/walls/ceiling with relief jitter, two colonnade levels
@@ -511,6 +511,13 @@ def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
 
     Interior-bench note: place the camera INSIDE (|x|<9, |z|<5,
     0.5<y<9); bench.py uses an interior orbit for BENCH_SCENE=atrium.
+
+    ``mixed=True``: non-uniform tessellation like real Sponza —
+    floors/walls/ceiling become LARGE panels (few huge triangles)
+    while columns/props keep the ``detail`` tessellation.  Large
+    polygons inflate BVH node overlap, which is exactly what triangle
+    pre-splitting (VKPT_PRESPLIT) exists to fix; the uniform variant
+    measured presplit as a no-op.
     """
     rng = np.random.default_rng(7)
     X, Z, H = 24.0, 14.0, 10.0   # hall half-extents 12 x 7, height 10
@@ -528,12 +535,13 @@ def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
         return (i * 7 + j * 13) % n_materials
 
     s = math.sqrt(max(detail, 0.05))
+    sp = 0.18 if mixed else s  # panel-field tessellation scale
     prims: List[PrimData] = []
     # Floor / ceiling panel fields (ceiling leaves a central opening).
-    fnu, fnv = int(44 * s), int(26 * s)
+    fnu, fnv = max(int(44 * sp), 3), max(int(26 * sp), 3)
     prims += _panel_field((-hx, 0, -hz), (X, 0, 0), (0, 0, Z), fnu, fnv,
                           0.06, 1, 1.0, mat, jitter=0.5, rng=rng)
-    cnu, cnv = int(44 * s), int(26 * s)
+    cnu, cnv = max(int(44 * sp), 5), max(int(26 * sp), 5)
     # Large central opening, like Sponza's court open to the sky.
     open_u = (0.2, 0.8)
     open_v = (0.16, 0.84)
@@ -549,13 +557,13 @@ def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
         kept.append(p)
     prims += kept
     # Walls (inward-extruded panels).
-    wn_h = int(40 * s)
-    wn_v = int(18 * s)
+    wn_h = max(int(40 * sp), 3)
+    wn_v = max(int(18 * sp), 3)
     prims += _panel_field((-hx, 0, -hz), (X, 0, 0), (0, H, 0), wn_h, wn_v,
                           0.08, 2, 1.0, mat, jitter=0.6, rng=rng)
     prims += _panel_field((-hx, 0, hz), (X, 0, 0), (0, H, 0), wn_h, wn_v,
                           0.08, 2, -1.0, mat, jitter=0.6, rng=rng)
-    wn_h2 = int(24 * s)
+    wn_h2 = max(int(24 * sp), 3)
     prims += _panel_field((-hx, 0, -hz), (0, 0, Z), (0, H, 0), wn_h2, wn_v,
                           0.08, 0, 1.0, mat, jitter=0.6, rng=rng)
     prims += _panel_field((hx, 0, -hz), (0, 0, Z), (0, H, 0), wn_h2, wn_v,
@@ -591,7 +599,7 @@ def make_atrium(path: str, detail: float = 1.0, n_materials: int = 32
         prims.append(box_prim((px, 5.0 + 0.35, pz), (0.08, 0.7, 0.08),
                               (pi * 3) % n_materials))
     # Level-2 walkway slabs between the colonnade ring and the walls.
-    wnu = int(30 * s)
+    wnu = max(int(30 * sp), 3)
     prims += _panel_field((-hx, 4.9, -hz), (X, 0, 0), (0, 0, 2.2 - 0.1),
                           wnu, max(int(4 * s), 2), 0.1, 1, 1.0, mat,
                           rng=rng)
