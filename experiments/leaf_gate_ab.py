@@ -1,8 +1,16 @@
 """Single-process A/B of packet-kernel variants on REAL sorted
-secondary rays (atrium): leaf-gate on/off x packet size.  Min-over-reps
-in one process so relay noise cancels.
+secondary rays (atrium by default): min-over-reps in one process so
+relay noise cancels.
 
-    python experiments/leaf_gate_ab.py [detail]
+    VARIANTS=<set> [UNSORTED=1] [AB_LEAF=N] [SCENE=columns] [REPS=N] \
+        python experiments/leaf_gate_ab.py [detail]
+
+Variant sets: gate (leaf-gate on/off x pk), prim (tile-ordered
+primaries: dense vs packet vs gmt), prod, shortray (t_far two-pass),
+cascade (t-slab windows), key (sort-key shootout; UNSORTED=1),
+final (key x pk combos; UNSORTED=1), seed (origin-block t-seeding),
+gmt (group-MT x pk), spec (spec-2), pipe (pipelined pair), pk
+(packet sweep).  Measured verdicts live in ROADMAP.md.
 """
 
 import os

@@ -29,9 +29,12 @@ pads to 512B/node.  skip/leaf live in the same row as FLOAT-VALUED
 ints (exact below 2^24) so no second table is staged.  The leaf table
 is (n_leaves, block*9) with the same padding.  fits_vmem() accounts
 for the padded sizes against the raised scoped-VMEM limit (v5e has
-128MB; the 16MB default is overridden per kernel) — ceiling ~90k
-nodes per octant (~300k triangles with 8-wide leaf blocks); beyond
-that the XLA path takes over.  Roadmap: HBM-streamed leaf tables.
+128MB; the 16MB default is overridden per kernel) — with leaf-14
+blocks the ceiling is ~550k triangles (one octant staged, double
+buffered); beyond that the dense-row kernel's staged mode carries to
+~1M+ and the XLA path takes over after that.  This kernel now
+dispatches BOTH wavefront phases (phase-tuned packet sizes) and
+decodes two-level instanced leaves (object-space packet transform).
 
 Ordering only affects *efficiency*, never results: a packet whose rays
 straddle octants still intersects everything (each lane keeps its own
