@@ -190,3 +190,69 @@ def test_dense_staged_octant_mode(cols_dev, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
     np.testing.assert_array_equal(np.asarray(got.tri),
                                   np.asarray(ref.tri))
+
+
+def test_group_mt_matches_baseline(cols_dev):
+    """Group-MT leaf variant (dynamic sublane groups + idempotent
+    full-width fallback) must equal the baseline packet kernel."""
+    o, d = _rays(4096, seed=11)
+    rng = np.random.default_rng(11)
+    act = jnp.asarray(rng.uniform(size=4096) > 0.1)
+    base = pallas_closest_hit(cols_dev, o, d, act, interpret=True,
+                              packet=2048)
+    for gf in (1, 2):
+        got = pallas_closest_hit(cols_dev, o, d, act, interpret=True,
+                                 packet=2048, group_mt=gf)
+        np.testing.assert_array_equal(np.asarray(got.tri),
+                                      np.asarray(base.tri))
+        np.testing.assert_allclose(np.asarray(got.t),
+                                   np.asarray(base.t), rtol=0, atol=0)
+
+
+def test_pipe_matches_baseline(cols_dev):
+    """Pipelined-pair kernel (cross-iteration reduction carry) must
+    equal the baseline, including odd sizes padded to 2*packet."""
+    o, d = _rays(5000, seed=12)
+    rng = np.random.default_rng(12)
+    act = jnp.asarray(rng.uniform(size=5000) > 0.1)
+    base = pallas_closest_hit(cols_dev, o, d, act, interpret=True,
+                              packet=2048)
+    got = pallas_closest_hit(cols_dev, o, d, act, interpret=True,
+                             packet=2048, pipe=True)
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(base.tri))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(base.t),
+                               rtol=0, atol=0)
+
+
+def test_t_window_cascade_tiles_exactly(cols_dev):
+    """t-slab windows [0,a) [a,b) [b,inf) merged per-lane must equal a
+    single full-range traversal bit-exactly (closed lower bounds tile
+    the ray; boundary hits land in exactly one window)."""
+    from vulkan_pathtracer_tpu.ops.intersect import MISS_T
+
+    n = 4096
+    o, d = _rays(n, seed=13)
+    rng = np.random.default_rng(13)
+    act = jnp.asarray(rng.uniform(size=n) > 0.1)
+    base = pallas_closest_hit(cols_dev, o, d, act, interpret=True,
+                              packet=2048)
+    bounds = [0.0, 1.5, 4.0, float("inf")]
+    t = jnp.full((n,), jnp.float32(MISS_T))
+    tri = jnp.full((n,), -1, jnp.int32)
+    found = jnp.zeros((n,), bool)
+    for k in range(3):
+        lo, hi = bounds[k], bounds[k + 1]
+        a = act & ~found
+        h = pallas_closest_hit(
+            cols_dev, o, d, a, interpret=True, packet=2048,
+            t_near=(None if k == 0 else lo),
+            t_far=(None if hi == float("inf") else hi),
+        )
+        got = h.t < MISS_T
+        t = jnp.where(got, h.t, t)
+        tri = jnp.where(got, h.tri, tri)
+        found = found | got
+    np.testing.assert_array_equal(np.asarray(tri), np.asarray(base.tri))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(base.t),
+                               rtol=0, atol=0)
