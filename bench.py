@@ -56,15 +56,18 @@ def main() -> int:
     # the old stand-in.
     scene_kind = os.environ.get("BENCH_SCENE", "atrium")
 
-    if scene_kind == "atrium":
+    if scene_kind in ("atrium", "atrium_mixed"):
         from assets.procedural import make_atrium
 
-        detail = float(os.environ.get("BENCH_DETAIL", 4.1))
+        mixed = scene_kind == "atrium_mixed"
+        detail = float(os.environ.get("BENCH_DETAIL",
+                                      35 if mixed else 4.1))
         scene_path = os.path.join(
-            tempfile.gettempdir(), f"bench_atrium_{detail}.glb"
+            tempfile.gettempdir(),
+            f"bench_{scene_kind}_{detail}.glb"
         )
         if not os.path.exists(scene_path):
-            make_atrium(scene_path, detail=detail)
+            make_atrium(scene_path, detail=detail, mixed=mixed)
     elif scene_kind == "columns":
         scene_path = os.path.join(
             tempfile.gettempdir(), f"bench_columns_{grid}_{segments}.glb"
@@ -106,7 +109,7 @@ def main() -> int:
 
     from vulkan_pathtracer_tpu.app.camera_path import orbit_path
 
-    if scene_kind == "atrium":
+    if scene_kind in ("atrium", "atrium_mixed"):
         # Interior orbit: the camera stays inside the court (the whole
         # point of a Sponza-class scene is interior traversal).
         path = orbit_path(radius=4.5, height=2.2, duration=4.0,
