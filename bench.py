@@ -177,9 +177,10 @@ def main() -> int:
 
     # Min over passes: relay throughput varies 2-5x run to run, so one
     # pass under-reports; the best pass is the honest chip number.
-    passes = int(os.environ.get("BENCH_PASSES", 2))
+    passes = int(os.environ.get("BENCH_PASSES", 3))
     elapsed = float("inf")
     total_rays = 0.0
+    pass_times = []
     for p in range(passes):
         checksums = []
         ray_counts = []
@@ -193,6 +194,7 @@ def main() -> int:
         pass_rays = float(sum(float(r) for r in ray_counts))
         _ = [float(c) for c in checksums]
         dt = time.perf_counter() - t0
+        pass_times.append(round(dt, 3))
         if dt < elapsed:
             elapsed = dt
             total_rays = pass_rays
@@ -211,6 +213,9 @@ def main() -> int:
             "fps": round(fps, 3),
             "frame_ms": round(1000.0 * elapsed / frames, 2),
             "scene": scene_kind,
+            # Relay noise spans 2-5x; the spread shows how far the
+            # min (the reported chip number) sits from a typical pass.
+            "pass_seconds": pass_times,
         },
     }
 

@@ -58,6 +58,20 @@ def test_leaf_gate_matches(cols_dev):
                                   np.asarray(ref.tri))
 
 
+def test_leaf_gate_partial_tail_group(cols_dev):
+    """packet=2560 -> sub=20 is not a multiple of the (8,128) gate
+    group; the tail rows must be processed as a partial group, not
+    dropped (regression: shape error / silent drop at trace time)."""
+    o, d = _rays(600, seed=5)
+    ref = pallas_closest_hit(cols_dev, o, d, interpret=True,
+                             packet=2560, leaf_gate=False)
+    got = pallas_closest_hit(cols_dev, o, d, interpret=True,
+                             packet=2560, leaf_gate=True)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))
+
+
 def test_active_mask(cols_dev):
     o, d = _rays(600, seed=9)
     rng = np.random.default_rng(1)

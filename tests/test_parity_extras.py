@@ -60,6 +60,44 @@ def test_distributed_single_host_noop():
     assert mesh.devices.size >= 1
 
 
+def test_distributed_arg_and_env_plumbing(monkeypatch):
+    """Mocked jax.distributed.initialize: explicit args and the
+    JAX_* env fallbacks must reach the group-formation call with the
+    right values (real multi-host hardware is unavailable here)."""
+    import jax
+
+    from vulkan_pathtracer_tpu.parallel import distributed
+
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    # Explicit arguments win.
+    assert distributed.initialize("10.0.0.1:8476", 4, 2) is True
+    assert calls[-1] == ("10.0.0.1:8476", 4, 2)
+
+    # Env fallbacks.
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "8")
+    monkeypatch.setenv("JAX_PROCESS_ID", "5")
+    assert distributed.initialize() is True
+    assert calls[-1] == ("host0:1234", 8, 5)
+
+    # Args override env.
+    assert distributed.initialize(process_id=0) is True
+    assert calls[-1] == ("host0:1234", 8, 0)
+
+    # Incomplete config (single process) -> no group, no call.
+    n_calls = len(calls)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert distributed.initialize() is False
+    assert len(calls) == n_calls
+
+
 def test_frame_profiler():
     import time
 

@@ -101,3 +101,41 @@ def test_exchange_balances_alive_counts():
     assert counts.shape == (4,)
     assert counts.sum() == 2 * m_local
     assert counts.max() - counts.min() <= m_local // 4
+
+
+def test_exchange_balances_partially_alive_shards():
+    """Every shard 50% alive must stay ~50% alive per chip after the
+    exchange.  Contiguous quantile strips anti-balance this case
+    (alive rays sort first, so chips 0..d/2-1 would come out fully
+    alive and the rest fully dead); the round-robin strided deal keeps
+    each strip a sample of the whole sorted shard."""
+    from vulkan_pathtracer_tpu.parallel.mesh import TILE_AXIS
+    from vulkan_pathtracer_tpu.parallel.rebalance import (
+        _balanced_exchange,
+    )
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_render_mesh(4)
+    m_local = 64
+    m = 4 * m_local
+
+    # Every shard: first half alive, second half dead.
+    alive = (np.arange(m) % m_local) < (m_local // 2)
+    key = np.where(alive, np.arange(m, dtype=np.uint32),
+                   np.uint32(0xFFFFFFFF))
+    state = np.zeros((m, 16), np.float32)
+    state[:, 14] = alive.astype(np.float32)
+
+    def body(st, k):
+        out = _balanced_exchange(st, k, 4)
+        return jnp.sum(out[:, 14])[None]
+
+    counts = np.asarray(shard_map(
+        body, mesh=mesh, in_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=P(TILE_AXIS), check_vma=False,
+    )(jnp.asarray(state), jnp.asarray(key)))
+    assert counts.sum() == 2 * m_local
+    # Each chip should hold ~m_local/2 alive rays (exact here: the
+    # per-chip alive count is divisible by n_dev).
+    assert counts.max() - counts.min() <= 4

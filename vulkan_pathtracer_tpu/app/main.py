@@ -66,7 +66,13 @@ def main(argv=None) -> int:
             build_instanced_scene,
         )
 
-        dev = build_instanced_scene(scene, max_leaf_size=8)
+        # Same measured-best leaf size (14) as the flat path; the
+        # packet kernel's instanced leaf decode uses the identical
+        # per-leaf MT loop, so the flat-path A/B (3.07 vs 2.75
+        # Mrays/s at 14 vs 8) carries over.  VKPT_LEAF overrides.
+        dev = build_instanced_scene(
+            scene, max_leaf_size=int(os.environ.get("VKPT_LEAF", "14")),
+        )
         print(
             f"two-level BVH: {dev.num_triangles} shared triangles, "
             f"{dev.inst_inv.shape[0]} instances", file=sys.stderr,

@@ -256,10 +256,25 @@ def presplit_triangle_refs(tri_v0: np.ndarray, tri_e1: np.ndarray,
     area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
             + ext[:, 2] * ext[:, 0])
 
+    def conservative_f32(lo64, hi64):
+        """float64 -> float32 rounding OUTWARD: a ref box must never
+        shrink below the clipped polygon (round-to-nearest can pull a
+        face inward by half an ulp, pruning a hit exactly on a split
+        seam)."""
+        lo64 = np.asarray(lo64, np.float64)
+        hi64 = np.asarray(hi64, np.float64)
+        lo32 = lo64.astype(np.float32)
+        hi32 = hi64.astype(np.float32)
+        lo32 = np.where(lo32.astype(np.float64) > lo64,
+                        np.nextafter(lo32, np.float32(-np.inf)), lo32)
+        hi32 = np.where(hi32.astype(np.float64) < hi64,
+                        np.nextafter(hi32, np.float32(np.inf)), hi32)
+        return lo32.astype(np.float32), hi32.astype(np.float32)
+
     budget = int(budget_factor * t)
     if budget <= 0 or t == 0:
-        return (lo.astype(np.float32), hi.astype(np.float32),
-                np.arange(t, dtype=np.int64))
+        lo32, hi32 = conservative_f32(lo, hi)
+        return lo32, hi32, np.arange(t, dtype=np.int64)
 
     # Only triangles well above the median box area are candidates —
     # the heap stays small and splits go where the overlap is.
@@ -312,11 +327,9 @@ def presplit_triangle_refs(tri_v0: np.ndarray, tri_e1: np.ndarray,
             heapq.heappush(heap, (-ra, new))
             polys[new] = right
 
-    return (
-        np.asarray(boxes_lo, dtype=np.float32),
-        np.asarray(boxes_hi, dtype=np.float32),
-        np.asarray(ref_tri, dtype=np.int64),
-    )
+    lo32, hi32 = conservative_f32(np.asarray(boxes_lo),
+                                  np.asarray(boxes_hi))
+    return lo32, hi32, np.asarray(ref_tri, dtype=np.int64)
 
 
 def pad_leaves_to_blocks(bvh: HostBVH, block: int = 4):

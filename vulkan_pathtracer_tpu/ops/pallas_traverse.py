@@ -254,8 +254,10 @@ def _make_kernel(n_nodes: int, block: int, packet: int, C: int,
                     if not leaf_gate or sub <= gsub:
                         return mt_group(slice(None), args)
                     outs = []
-                    for g in range(sub // gsub):
-                        sl = slice(g * gsub, (g + 1) * gsub)
+                    # Partial tail group when sub % 8 != 0 (VKPT_PACKET
+                    # can be any multiple of 128, e.g. 2560 -> sub=20).
+                    for g0 in range(0, sub, gsub):
+                        sl = slice(g0, min(g0 + gsub, sub))
                         any_g = jnp.sum(
                             jnp.where(box_hit[sl], 1.0, 0.0)
                         ) > 0.0
@@ -523,7 +525,8 @@ def pallas_closest_hit(scene, origin, direction, active=None,
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
-def fits_vmem(scene, budget_bytes: int = None) -> bool:
+def fits_vmem(scene, budget_bytes: int = None,
+              packet: int = None) -> bool:
     """Whether one octant's node rows (double-buffered) + the leaf
     table + ray state fit VMEM (v5e: 128MB total).  Mosaic tiles the
     8-wide lane dim up to 128, so a node row costs 512B and a leaf row
@@ -546,7 +549,13 @@ def fits_vmem(scene, budget_bytes: int = None) -> bool:
     node_bytes = n_nodes * 512          # (Nn, 8) -> (8,128)-tile padded
     tri_rows = scene.tri_blocks.shape[0]
     tri_bytes = tri_rows * 512          # (L, 36) -> lane-padded
-    state = 8 * PACKET * INTERLEAVE * 4 * 4 * 2
+    if packet is None:
+        # _closest_hit dispatches phase-tuned packets up to 4096
+        # (VKPT_PACKET_SECONDARY default); budget for the larger of
+        # the module default and that, so the guard tracks what
+        # pallas_closest_hit actually allocates.
+        packet = max(PACKET, 4096)
+    state = 8 * packet * INTERLEAVE * 4 * 4 * 2
     if getattr(scene, "instanced", False):
         state += scene.inst_inv.shape[0] * 512
     return (2 * node_bytes + tri_bytes + state) < budget_bytes

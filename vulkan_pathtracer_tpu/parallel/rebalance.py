@@ -48,11 +48,19 @@ from vulkan_pathtracer_tpu.render.wavefront import (
 
 
 def _balanced_exchange(state, key, n_dev: int):
-    """Local sort by ``key`` -> strip all_to_all -> caller re-sorts.
-    state: (m_local, 16); key: (m_local,) uint32."""
+    """Local sort by ``key`` -> strided-strip all_to_all -> caller
+    re-sorts.  state: (m_local, 16); key: (m_local,) uint32.
+
+    Strips are dealt ROUND-ROBIN from the sorted shard (row r goes to
+    strip r % n_dev), so every strip is a strided sample of the full
+    local key distribution.  Contiguous quantile strips would send all
+    low-key (= alive-first) rows to low-index chips, concentrating the
+    load instead of balancing it.
+    """
     order = jnp.argsort(key)
     state = state[order]
-    strips = state.reshape(n_dev, state.shape[0] // n_dev, 16)
+    strips = state.reshape(state.shape[0] // n_dev, n_dev, 16)
+    strips = strips.transpose(1, 0, 2)
     mixed = jax.lax.all_to_all(strips, TILE_AXIS, split_axis=0,
                                concat_axis=0, tiled=False)
     return mixed.reshape(-1, 16)

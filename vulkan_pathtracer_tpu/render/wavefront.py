@@ -139,9 +139,10 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
         # primaries too (89.5 vs 199.2 ms on the 1080p atrium — the
         # dense kernel's full-width MT over 3 on-chain leaf slots per
         # row scales with leaf size; the packet kernel's per-leaf MT
-        # does not revisit off-chain nodes).  The dense kernel remains
-        # the dispatch for instanced scenes (only instance-aware
-        # kernel) and a VMEM-fit fallback tier.
+        # does not revisit off-chain nodes).  The dense kernel is the
+        # VMEM-fit fallback tier (including for instanced scenes — the
+        # packet kernel gained instanced leaf decode and is preferred
+        # there too).
         if traversal == "pallas" or (
             traversal == "auto" and on_tpu
         ):
