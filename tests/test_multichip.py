@@ -67,6 +67,76 @@ def test_spp_mode_runs(box_dev):
     assert float(rays) >= 4 * 16 * 16
 
 
+def test_tiled_render_pallas_kernel_matches(box_dev, monkeypatch):
+    """The PRODUCTION packet kernel (traversal='pallas', interpret
+    mode on CPU) inside shard_map: the combination that runs on a real
+    TPU mesh must compose with collectives and match the single-chip
+    packet-kernel render exactly (round-2 VERDICT: every multi-chip
+    test pinned traversal='bvh', so this pairing had zero coverage)."""
+    monkeypatch.setenv("VKPT_PACKET_PRIMARY", "256")
+    monkeypatch.setenv("VKPT_PACKET_SECONDARY", "256")
+    mesh = make_render_mesh(4)
+    dev = replicate_scene(box_dev, mesh)
+    cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+
+    height, width = 16, 16
+    sharded = make_sharded_render(
+        mesh, dev, num_samples=1, num_bounces=2,
+        width=width, height=height, traversal="pallas",
+    )
+    img_sharded, rays_sharded = sharded(dev, pos, hor, ver, fwd,
+                                        jnp.uint32(0))
+
+    img_single, rays_single = render_frame(
+        box_dev, pos, hor, ver, fwd, jnp.uint32(0),
+        num_samples=1, num_bounces=2, width=width, height=height,
+        traversal="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(img_sharded),
+                                  np.asarray(img_single))
+    assert float(rays_sharded) == float(rays_single)
+
+
+def test_rebalanced_pooled_pallas_kernel(box_dev, monkeypatch):
+    """Packet kernel + per-bounce all_to_all rebalancing + psum'd
+    scatter-add routing in one program (the production multi-chip
+    wavefront): must run and match the single-device pooled wavefront
+    using the same kernel."""
+    from vulkan_pathtracer_tpu.parallel.rebalance import (
+        make_pooled_sharded_render,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import (
+        _pixel_seeds, generate_rays,
+    )
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        trace_wavefront_pooled,
+    )
+
+    monkeypatch.setenv("VKPT_PACKET_PRIMARY", "256")
+    monkeypatch.setenv("VKPT_PACKET_SECONDARY", "256")
+    mesh = make_render_mesh(4)
+    dev = replicate_scene(box_dev, mesh)
+    cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    W, H = 16, 16
+    o, d = generate_rays(pos, hor, ver, fwd, W, H)
+    sx, sy = _pixel_seeds(W, H, jnp.uint32(0))
+
+    ref_color, ref_rays = trace_wavefront_pooled(
+        box_dev, o, d, sx, sy, num_bounces=2, traversal="pallas",
+        sort_secondary=True,
+    )
+    fn = make_pooled_sharded_render(
+        mesh, box_dev, num_bounces=2, traversal="pallas",
+        rebalance=True,
+    )
+    color, rays = fn(dev, o, d, sx, sy)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref_color),
+                               rtol=1e-5, atol=1e-6)
+    assert float(rays) == pytest.approx(float(ref_rays))
+
+
 def test_height_divisibility_error(box_dev):
     mesh = make_render_mesh(8)
     with pytest.raises(ValueError):
