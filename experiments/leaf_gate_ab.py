@@ -485,6 +485,45 @@ def main():
                 dev, o, d, alive, packet=pk, leaf_gate=False)))
             for pk in (2048, 3072, 4096, 5120, 6144)
         ]
+    elif which == "csort":
+        # Chunk-granularity sorting (run with UNSORTED=1): sort C-lane
+        # GROUPS by their min key instead of every lane.  The sort_ab
+        # measurement says the per-bounce argsort+row-gather cost drops
+        # >2x; this measures what packet coherence pays.  End-to-end
+        # timing: key + order + gather + traversal in one jit, exactly
+        # the production shape.
+        from vulkan_pathtracer_tpu.render.wavefront import (
+            _bounce_sort_key,
+        )
+
+        n_rays = o.shape[0]
+
+        def run_sorted(c):
+            @jax.jit
+            def fn():
+                key = _bounce_sort_key(dev, o, d, alive)
+                if c == 1:
+                    order = jnp.argsort(key)
+                else:
+                    ng = n_rays // c
+                    rep = key[: ng * c].reshape(ng, c).min(axis=1)
+                    gorder = jnp.argsort(rep)
+                    order = (gorder[:, None] * c
+                             + jnp.arange(c)[None, :]).reshape(-1)
+                return pallas_closest_hit(
+                    dev, o[order], d[order], alive[order],
+                    packet=3072, leaf_gate=False)
+            return fn
+
+        @jax.jit
+        def unsorted():
+            return pallas_closest_hit(dev, o, d, alive, packet=3072,
+                                      leaf_gate=False)
+
+        variants = [("nosort        ", unsorted),
+                    ("exact C=1     ", run_sorted(1))]
+        variants += [(f"chunk C={c:<4}  ", run_sorted(c))
+                     for c in (8, 16, 32, 64, 128)]
     else:
         variants = [
             ("packet pk4096  ", lambda: pallas_closest_hit(

@@ -41,12 +41,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/vkpt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def timeit(name, fn, reps, force):
-    fn()  # compile
+def timeit(name, fn, args, reps, force):
+    """fn is jitted and takes args explicitly (closure-captured device
+    arrays would be embedded as constants and constant-folded)."""
+    fn(*args)  # compile
     best = 9e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(*args)
         force(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{name}: {best * 1000:8.2f} ms", flush=True)
@@ -73,75 +75,77 @@ def main():
 
     if which in ("base", "all"):
         timeit("argsort u32          ",
-               jax.jit(lambda: jnp.argsort(keys)), reps, fscalar)
+               jax.jit(lambda k: jnp.argsort(k)), (keys,), reps, fscalar)
         timeit("sort_key_val u32/i32 ",
-               jax.jit(lambda: jax.lax.sort_key_val(
-                   keys, jnp.arange(n, dtype=jnp.int32))), reps, fscalar)
-        timeit("row gather (n,16)    ",
-               jax.jit(lambda: state[order_rand]), reps, fscalar)
-        timeit("argsort+gather (prod)",
-               jax.jit(lambda: state[jnp.argsort(keys)]), reps, fscalar)
-        timeit("scatter rows .at[set]",
-               jax.jit(lambda: jnp.zeros_like(state).at[order_rand]
-                       .set(state)), reps, fscalar)
-        timeit("iota scatter (invert)",
-               jax.jit(lambda: jnp.zeros(n, jnp.int32).at[order_rand]
-                       .set(jnp.arange(n, dtype=jnp.int32))),
+               jax.jit(lambda k: jax.lax.sort_key_val(
+                   k, jnp.arange(n, dtype=jnp.int32))), (keys,),
                reps, fscalar)
+        timeit("row gather (n,16)    ",
+               jax.jit(lambda s, o: s[o]), (state, order_rand),
+               reps, fscalar)
+        timeit("argsort+gather (prod)",
+               jax.jit(lambda s, k: s[jnp.argsort(k)]), (state, keys),
+               reps, fscalar)
+        timeit("scatter rows .at[set]",
+               jax.jit(lambda s, o: jnp.zeros_like(s).at[o].set(s)),
+               (state, order_rand), reps, fscalar)
+        timeit("iota scatter (invert)",
+               jax.jit(lambda o: jnp.zeros(n, jnp.int32).at[o]
+                       .set(jnp.arange(n, dtype=jnp.int32))),
+               (order_rand,), reps, fscalar)
 
     if which in ("chunk", "all"):
         for c in (8, 16, 32, 64, 128):
             ng = n // c
 
-            def chunk_sort(c=c, ng=ng):
+            def chunk_sort(k, s, c=c, ng=ng):
                 # Representative = min key in the group (an all-dead
                 # group keys to the end only if every lane is dead).
-                k2 = keys[: ng * c].reshape(ng, c)
+                k2 = k[: ng * c].reshape(ng, c)
                 rep = k2.min(axis=1)
                 gorder = jnp.argsort(rep)
-                s2 = state[: ng * c].reshape(ng, c * 16)
+                s2 = s[: ng * c].reshape(ng, c * 16)
                 return s2[gorder].reshape(-1, 16)
 
             timeit(f"chunk_sort C={c:<4}     ",
-                   jax.jit(chunk_sort), reps, fscalar)
+                   jax.jit(chunk_sort), (keys, state), reps, fscalar)
 
     if which in ("radix", "all"):
         # One counting-sort pass over the top `bits` bits: per-chunk
         # histograms -> exclusive scan -> per-lane rank via one-hot
         # cumsum inside each chunk (vectorized, no batched sort).
+        def radix_rank(k, bits, d_):
+            digit = (k >> jnp.uint32(30 - bits)).astype(jnp.int32)
+            ch = 1 << 15
+            nch = n // ch
+            dg = digit[: nch * ch].reshape(nch, ch)
+            onehot = jax.nn.one_hot(dg, d_, dtype=jnp.int32)
+            # (nch, ch, D) within-chunk exclusive cumsum + chunk
+            # histograms.
+            csum = jnp.cumsum(onehot, axis=1)
+            hist = csum[:, -1, :]                      # (nch, D)
+            within = csum - onehot                     # exclusive
+            # Across chunks (digit-major global offsets).
+            chunk_base = jnp.cumsum(hist, axis=0) - hist  # (nch, D)
+            total = hist.sum(axis=0)
+            digit_base = jnp.cumsum(total) - total     # (D,)
+            base = digit_base[None, :] + chunk_base    # (nch, D)
+            rank = jnp.take_along_axis(
+                within + base[:, None, :], dg[..., None], axis=2,
+            )[..., 0].reshape(-1)
+            return rank
+
         for bits in (8, 12):
             d_ = 1 << bits
-
-            def radix_rank(bits=bits, d_=d_):
-                digit = (keys >> jnp.uint32(30 - bits)).astype(jnp.int32)
-                ch = 1 << 15
-                nch = n // ch
-                dg = digit[: nch * ch].reshape(nch, ch)
-                onehot = jax.nn.one_hot(dg, d_, dtype=jnp.int32)
-                # (nch, ch, D) within-chunk exclusive cumsum + chunk
-                # histograms.
-                csum = jnp.cumsum(onehot, axis=1)
-                hist = csum[:, -1, :]                      # (nch, D)
-                within = csum - onehot                     # exclusive
-                # Across chunks (digit-major global offsets).
-                chunk_base = jnp.cumsum(hist, axis=0) - hist  # (nch, D)
-                total = hist.sum(axis=0)
-                digit_base = jnp.cumsum(total) - total     # (D,)
-                base = digit_base[None, :] + chunk_base    # (nch, D)
-                rank = jnp.take_along_axis(
-                    within + base[:, None, :], dg[..., None], axis=2,
-                )[..., 0].reshape(-1)
-                return rank
-
             timeit(f"radix rank {bits}b       ",
-                   jax.jit(radix_rank), reps, fscalar)
-
-            def radix_full(bits=bits, d_=d_):
-                rank = radix_rank(bits)
-                return jnp.zeros_like(state).at[rank].set(state)
-
+                   jax.jit(lambda k, bits=bits, d_=d_:
+                           radix_rank(k, bits, d_)),
+                   (keys,), reps, fscalar)
             timeit(f"radix rank+scatter {bits}b",
-                   jax.jit(radix_full), reps, fscalar)
+                   jax.jit(lambda k, s, bits=bits, d_=d_:
+                           jnp.zeros_like(s)
+                           .at[radix_rank(k, bits, d_)].set(s)),
+                   (keys, state), reps, fscalar)
 
 
 if __name__ == "__main__":

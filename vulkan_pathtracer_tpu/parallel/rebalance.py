@@ -42,7 +42,9 @@ from vulkan_pathtracer_tpu.render.wavefront import (
     _bounce_sort_key,
     _closest_hit,
     _pack_state,
+    _permute_state,
     _shade_and_extend,
+    _sort_chunk,
     _unpack_state,
 )
 
@@ -57,8 +59,7 @@ def _balanced_exchange(state, key, n_dev: int):
     low-key (= alive-first) rows to low-index chips, concentrating the
     load instead of balancing it.
     """
-    order = jnp.argsort(key)
-    state = state[order]
+    state = _permute_state(state, key, _sort_chunk())
     strips = state.reshape(state.shape[0] // n_dev, n_dev, 16)
     strips = strips.transpose(1, 0, 2)
     mixed = jax.lax.all_to_all(strips, TILE_AXIS, split_axis=0,
@@ -140,7 +141,7 @@ def make_pooled_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
                     so, sd, _, _, _, _, alive, _ = _unpack_state(state)
                     key = _bounce_sort_key(scene, so, sd, alive)
                 if sort_secondary:
-                    state = state[jnp.argsort(key)]
+                    state = _permute_state(state, key, _sort_chunk())
             last = j == num_bounces - 1
             rr = russian_roulette and (j + 1) >= rr_start_bounce
             phase = "primary" if j == 0 else "secondary"

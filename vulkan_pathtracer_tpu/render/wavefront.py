@@ -186,6 +186,46 @@ def _interleave10(v):
     return v
 
 
+def _sort_chunk() -> int:
+    """VKPT_SORT_CHUNK: per-bounce sorts order C-lane GROUPS (by min
+    member key) instead of individual lanes.  Measured on v5e
+    (experiments/sort_ab.py, N=2M): the exact argsort is cheap (28 ms)
+    but the (N, 16) row gather applying it is not (74 ms); gathering
+    (N/C, C*16) rows cuts the ordering step >2x (78 -> 36 ms).  Groups
+    of contiguous lanes are key-coherent by construction (pixel order
+    at bounce 1, the previous sort afterwards), so packets lose little
+    coherence — the quality A/B lives in experiments/leaf_gate_ab.py
+    VARIANTS=csort.  C=1 = exact lane sort.  Results are bit-exact
+    per-lane either way (ordering is scheduling-only)."""
+    import os
+
+    return int(os.environ.get("VKPT_SORT_CHUNK", "1"))
+
+
+def _state_sort_order(key, c: int):
+    """Permutation for a packed wavefront: (group_order, lane_order).
+    ``lane_order`` reorders lanes; ``group_order`` (or None) reorders
+    (M//c, c*16) state rows — the cheap row-gather form."""
+    m = key.shape[0]
+    if c > 1 and m % c == 0:
+        rep = key.reshape(m // c, c).min(axis=1)
+        gorder = jnp.argsort(rep)
+        lane = (gorder[:, None].astype(jnp.int32) * c
+                + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
+        return gorder, lane
+    return None, jnp.argsort(key)
+
+
+def _permute_state(state, key, c: int):
+    """Reorder packed (M, 16) state so traversal packets draw coherent
+    keys; group-granular when c > 1 (big-row gather)."""
+    gorder, lane = _state_sort_order(key, c)
+    if gorder is None:
+        return state[lane]
+    m = state.shape[0]
+    return state.reshape(m // c, c * 16)[gorder].reshape(m, 16)
+
+
 def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
                         seed=None, phase: str = "secondary"):
     """Sort rays by the bounce key (_bounce_sort_key: 6d endpoint-pair
@@ -198,7 +238,7 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
         scene, origin, direction,
         jnp.ones(origin.shape[0], bool) if active is None else active,
     )
-    order = jnp.argsort(key)
+    _, order = _state_sort_order(key, _sort_chunk())
     # Inverse permutation via scatter (O(n)), not a second argsort.
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype)
@@ -587,8 +627,7 @@ def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
         if sort_secondary and j > 0:
             o, d, _, _, _, _, alive, _ = _unpack_state(state)
             key = _bounce_sort_key(scene, o, d, alive)
-            order = jnp.argsort(key)
-            state = state[order]
+            state = _permute_state(state, key, _sort_chunk())
         last = j == num_bounces - 1
         rr = russian_roulette and (j + 1) >= rr_start_bounce
         phase = "primary" if j == 0 else "secondary"
@@ -764,8 +803,7 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
         o, d, _, _, _, _, alive, _ = _unpack_state(state)
         if sort_secondary:
             key = _bounce_sort_key(scene, o, d, alive)
-            order = jnp.argsort(key)
-            state = state[order]
+            state = _permute_state(state, key, _sort_chunk())
         last = j == num_bounces - 1
         rr = russian_roulette and (j + 1) >= rr_start_bounce
         state, counts = jax.lax.map(
