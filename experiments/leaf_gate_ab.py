@@ -485,6 +485,112 @@ def main():
                 dev, o, d, alive, packet=pk, leaf_gate=False)))
             for pk in (2048, 3072, 4096, 5120, 6144)
         ]
+    elif which == "kmeans":
+        # Union-aware packet FORMATION (run with UNSORTED=1): balanced
+        # k-means in the 6d (origin, endpoint) space vs the production
+        # Morton-interleave sort.  Morton cells are fixed axis-aligned
+        # boxes; Lloyd iterations adapt cell boundaries to the actual
+        # ray distribution, so packets should union-visit fewer nodes
+        # at identical sort cost class.  Centroids are seeded from the
+        # production sorted order (every pk-th ray), so k-means can
+        # only refine, not lose, the Morton structure.
+        from vulkan_pathtracer_tpu.render.wavefront import (
+            _bounce_sort_key,
+        )
+
+        n_rays = o.shape[0]
+        lo = dev.bvh_packed[0, 0:3]
+        hi = dev.bvh_packed[0, 3:6]
+        extent = jnp.maximum(hi - lo, 1e-9)
+        diag = float(np.linalg.norm(np.asarray(extent)))
+
+        def embed():
+            L = 0.5 * diag
+            po = (o - lo) / extent
+            pe = (o + L * d - lo) / extent
+            return jnp.concatenate([po, pe], axis=1)  # (n, 6)
+
+        def kmeans_order(iters, pk):
+            key = _bounce_sort_key(dev, o, d, alive)
+            base = jnp.argsort(key)
+            x = embed()
+            k = n_rays // pk
+            cent = x[base[pk // 2::pk]][:k]              # (k, 6)
+
+            def assign(cent):
+                # argmin ||x - c||^2 = argmax (x.c - |c|^2/2), chunked.
+                half = 0.5 * jnp.sum(cent * cent, axis=1)
+
+                def chunk_assign(xc):
+                    score = xc @ cent.T - half[None, :]
+                    return jnp.argmax(score, axis=1).astype(jnp.int32)
+
+                ch = 1 << 17
+                pad = (-n_rays) % ch
+                xp = jnp.pad(x, ((0, pad), (0, 0)))
+                a = jax.lax.map(chunk_assign,
+                                xp.reshape(-1, ch, 6)).reshape(-1)
+                return a[:n_rays]
+
+            a = assign(cent)
+            for _ in range(iters):
+                # Lloyd update (dead rays excluded from centroids).
+                w = alive.astype(jnp.float32)
+                cnt = jnp.zeros((k,), jnp.float32).at[a].add(w)
+                s = jnp.zeros((k, 6), jnp.float32).at[a].add(
+                    x * w[:, None])
+                cent = jnp.where(cnt[:, None] > 0,
+                                 s / jnp.maximum(cnt, 1.0)[:, None],
+                                 cent)
+                a = assign(cent)
+            # Order clusters along the production key of their centroid
+            # (approx: key of the member nearest the centroid is
+            # overkill; centroid Morton rank keeps neighbors adjacent).
+            crank = jnp.argsort(jnp.argsort(
+                _centroid_key(cent, lo, extent)))
+            # Dead rays to the end regardless of cluster.
+            sort_key = jnp.where(
+                alive,
+                crank[a].astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+            return jnp.argsort(sort_key)
+
+        def _centroid_key(cent, lo_, ext_):
+            qo = jnp.clip(cent[:, 0:3] * 31.0, 0.0, 31.0).astype(
+                jnp.uint32)
+            qe = jnp.clip(cent[:, 3:6] * 31.0, 0.0, 31.0).astype(
+                jnp.uint32)
+            kk = jnp.zeros(cent.shape[0], jnp.uint32)
+            for b in range(4, -1, -1):
+                for comp in (qo[:, 0], qo[:, 1], qo[:, 2],
+                             qe[:, 0], qe[:, 1], qe[:, 2]):
+                    kk = (kk << jnp.uint32(1)) | (
+                        (comp >> jnp.uint32(b)) & jnp.uint32(1))
+            return kk
+
+        def run_kmeans(iters, pk=3072):
+            @jax.jit
+            def fn():
+                order = kmeans_order(iters, pk)
+                return pallas_closest_hit(
+                    dev, o[order], d[order], alive[order],
+                    packet=pk, leaf_gate=False)
+            return fn
+
+        @jax.jit
+        def baseline():
+            key = _bounce_sort_key(dev, o, d, alive)
+            order = jnp.argsort(key)
+            return pallas_closest_hit(dev, o[order], d[order],
+                                      alive[order], packet=3072,
+                                      leaf_gate=False)
+
+        variants = [("6d sort (prod)", baseline),
+                    ("kmeans it=0   ", run_kmeans(0)),
+                    ("kmeans it=1   ", run_kmeans(1)),
+                    ("kmeans it=2   ", run_kmeans(2)),
+                    ("kmeans it=3   ", run_kmeans(3))]
     elif which == "csort":
         # Chunk-granularity sorting (run with UNSORTED=1): sort C-lane
         # GROUPS by their min key instead of every lane.  The sort_ab
