@@ -186,44 +186,13 @@ def _interleave10(v):
     return v
 
 
-def _sort_chunk() -> int:
-    """VKPT_SORT_CHUNK: per-bounce sorts order C-lane GROUPS (by min
-    member key) instead of individual lanes.  Measured on v5e
-    (experiments/sort_ab.py, N=2M): the exact argsort is cheap (28 ms)
-    but the (N, 16) row gather applying it is not (74 ms); gathering
-    (N/C, C*16) rows cuts the ordering step >2x (78 -> 36 ms).  Groups
-    of contiguous lanes are key-coherent by construction (pixel order
-    at bounce 1, the previous sort afterwards), so packets lose little
-    coherence — the quality A/B lives in experiments/leaf_gate_ab.py
-    VARIANTS=csort.  C=1 = exact lane sort.  Results are bit-exact
-    per-lane either way (ordering is scheduling-only)."""
-    import os
-
-    return int(os.environ.get("VKPT_SORT_CHUNK", "1"))
-
-
-def _state_sort_order(key, c: int):
-    """Permutation for a packed wavefront: (group_order, lane_order).
-    ``lane_order`` reorders lanes; ``group_order`` (or None) reorders
-    (M//c, c*16) state rows — the cheap row-gather form."""
-    m = key.shape[0]
-    if c > 1 and m % c == 0:
-        rep = key.reshape(m // c, c).min(axis=1)
-        gorder = jnp.argsort(rep)
-        lane = (gorder[:, None].astype(jnp.int32) * c
-                + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
-        return gorder, lane
-    return None, jnp.argsort(key)
-
-
-def _permute_state(state, key, c: int):
-    """Reorder packed (M, 16) state so traversal packets draw coherent
-    keys; group-granular when c > 1 (big-row gather)."""
-    gorder, lane = _state_sort_order(key, c)
-    if gorder is None:
-        return state[lane]
-    m = state.shape[0]
-    return state.reshape(m // c, c * 16)[gorder].reshape(m, 16)
+# Wavefront ordering lives in ops/sort.py (measured rationale there);
+# re-exported under the historic names used across render/parallel.
+from vulkan_pathtracer_tpu.ops.sort import (  # noqa: E402
+    permute_rows as _permute_state,
+    sort_chunk as _sort_chunk,
+    state_sort_order as _state_sort_order,
+)
 
 
 def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
