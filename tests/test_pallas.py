@@ -58,6 +58,27 @@ def test_leaf_gate_matches(cols_dev):
                                   np.asarray(ref.tri))
 
 
+def test_dense_hbm_leaves_matches(cols_dev):
+    """HBM-streamed leaf rows (DMA per on-chain leaf into 3-slot
+    scratch) must be bit-identical to the VMEM-resident dense kernel
+    — same MT, only the fetch path changes."""
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+        dense_hbm_fits,
+        pallas_dense_closest_hit,
+    )
+
+    assert dense_hbm_fits(cols_dev)
+    o, d = _rays(900, seed=11)
+    ref = pallas_dense_closest_hit(cols_dev, o, d, interpret=True,
+                                   hbm_leaves=False)
+    got = pallas_dense_closest_hit(cols_dev, o, d, interpret=True,
+                                   hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+
+
 def test_leaf_gate_partial_tail_group(cols_dev):
     """packet=2560 -> sub=20 is not a multiple of the (8,128) gate
     group; the tail rows must be processed as a partial group, not

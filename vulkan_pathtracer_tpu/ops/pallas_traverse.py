@@ -1571,11 +1571,14 @@ DENSE_PACKET = int(os.environ.get("VKPT_DENSE_PACKET", 2048))
 def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                        packet: int, C: int, tmin: float,
                        instanced: bool = False, mb_bits: int = 0,
-                       staged: bool = False):
+                       staged: bool = False, hbm_leaves: bool = False):
     sub = packet // _LANE
     npr = NODES_PER_ROW
 
     def kernel(octant_ref, rows_ref, tris_ref, *rest):
+        leaf_scratch = leaf_sems = None
+        if hbm_leaves:
+            rest, leaf_scratch, leaf_sems = rest[:-2], rest[-2], rest[-1]
         if instanced:
             inst_ref, rays_ref, out_ref = rest
         else:
@@ -1711,7 +1714,27 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                     )
                     nxt = jnp.where(on & ~frozen, succ, nxt)
 
-                def make_leaf_case(lv, c=c):
+                def leaf_row_of(leaf_i):
+                    if instanced:
+                        return leaf_i & ((1 << mb_bits) - 1)
+                    return leaf_i // block
+
+                if hbm_leaves:
+                    # Issue all on-chain leaf-row DMAs up front so MT
+                    # of slot s overlaps the copies of s+1.. (the leaf
+                    # table lives in HBM; only the 3 visited rows land
+                    # in VMEM scratch).
+                    for s_, lv_ in enumerate((lv0, lv1, lv2)):
+                        @pl.when(lv_ >= 0.0)
+                        def _(s_=s_, lv_=lv_):
+                            trow = leaf_row_of(lv_.astype(jnp.int32))
+                            pltpu.make_async_copy(
+                                tris_ref.at[trow],
+                                leaf_scratch.at[s_],
+                                leaf_sems.at[s_],
+                            ).start()
+
+                def make_leaf_case(lv, c=c, slot=0):
                     leaf_i = lv.astype(jnp.int32)
 
                     def leaf_case(args, leaf_i=leaf_i):
@@ -1740,17 +1763,26 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                             trow = leaf_i // block
                             det_sign = None
                             tri_base = leaf_i
+                        if hbm_leaves:
+                            pltpu.make_async_copy(
+                                tris_ref.at[trow],
+                                leaf_scratch.at[slot],
+                                leaf_sems.at[slot],
+                            ).wait()
+                            tread = lambda base: leaf_scratch[slot, base]
+                        else:
+                            tread = lambda base: tris_ref[trow, base]
                         for k in range(block):
                             base = k * 9
-                            v0x = tris_ref[trow, base + 0]
-                            v0y = tris_ref[trow, base + 1]
-                            v0z = tris_ref[trow, base + 2]
-                            e1x = tris_ref[trow, base + 3]
-                            e1y = tris_ref[trow, base + 4]
-                            e1z = tris_ref[trow, base + 5]
-                            e2x = tris_ref[trow, base + 6]
-                            e2y = tris_ref[trow, base + 7]
-                            e2z = tris_ref[trow, base + 8]
+                            v0x = tread(base + 0)
+                            v0y = tread(base + 1)
+                            v0z = tread(base + 2)
+                            e1x = tread(base + 3)
+                            e1y = tread(base + 4)
+                            e1z = tread(base + 5)
+                            e2x = tread(base + 6)
+                            e2y = tread(base + 7)
+                            e2z = tread(base + 8)
                             px = dy * e2z - dz * e2y
                             py = dz * e2x - dx * e2z
                             pz = dx * e2y - dy * e2x
@@ -1783,9 +1815,10 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
                     return leaf_case
 
                 tbc, tric, ubc, vbc = tb[c], trib[c], ub[c], vb[c]
-                for lv in (lv0, lv1, lv2):
+                for s_, lv in enumerate((lv0, lv1, lv2)):
                     tbc, tric, ubc, vbc = jax.lax.cond(
-                        lv >= 0.0, make_leaf_case(lv), lambda a: a,
+                        lv >= 0.0, make_leaf_case(lv, slot=s_),
+                        lambda a: a,
                         (tbc, tric, ubc, vbc),
                     )
                 tb[c], trib[c], ub[c], vb[c] = tbc, tric, ubc, vbc
@@ -1808,10 +1841,11 @@ def _make_dense_kernel(n_nodes: int, rows_per_oct: int, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=("orders", "interpret",
-                                             "mb_bits", "staged"))
+                                             "mb_bits", "staged",
+                                             "hbm_leaves"))
 def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
                     orders=8, interpret=False, mb_bits=0,
-                    staged=False):
+                    staged=False, hbm_leaves=False):
     """rows: (orders*R, 128) f32 dense node rows; tris: (n_leaves,
     block*9) f32; rays: (G, C, 12, PACKET) f32; octants: (G,) int32;
     inst_inv: optional (I, 16) instance inverse transforms (two-level
@@ -1839,11 +1873,17 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
             lambda i, octs: (0, 0),
             memory_space=pltpu.VMEM,
         )
-    in_specs = [
-        node_spec,
-        pl.BlockSpec((n_leaves, row_w), lambda i, octs: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if hbm_leaves:
+        # Leaf table stays in HBM; visited rows are DMA'd into a
+        # 3-slot scratch (one per on-chain leaf) per row visit.
+        if C != 1:
+            raise ValueError("hbm_leaves requires interleave C == 1")
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tri_spec = pl.BlockSpec((n_leaves, row_w),
+                                lambda i, octs: (0, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = [node_spec, tri_spec]
     args = [octants, rows, tris]
     if instanced:
         in_specs.append(
@@ -1856,6 +1896,12 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
                      memory_space=pltpu.VMEM)
     )
     args.append(rays)
+    scratch_shapes = []
+    if hbm_leaves:
+        scratch_shapes = [
+            pltpu.VMEM((3, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g,),
@@ -1863,15 +1909,18 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
         out_specs=pl.BlockSpec((1, C, 4, packet),
                                lambda i, octs: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
     )
     # Padding nodes carry skip == true Nn, and cursors treat any node
     # id >= n_nodes as done; using the padded count keeps the kernel
     # honest for rays that finish on a padding node.
     kernel = _make_dense_kernel(n_nodes, rows_per_oct, block, packet, C,
                                 TMIN, instanced=instanced,
-                                mb_bits=mb_bits, staged=staged)
+                                mb_bits=mb_bits, staged=staged,
+                                hbm_leaves=hbm_leaves)
     node_rows_resident = rows_per_oct * 2 if staged else total_rows
-    need = node_rows_resident * 512 + n_leaves * 512 + 8 * 1024 * 1024
+    leaf_resident = 0 if hbm_leaves else n_leaves * 512
+    need = node_rows_resident * 512 + leaf_resident + 8 * 1024 * 1024
     if instanced:
         need += inst_inv.shape[0] * 512
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
@@ -1886,8 +1935,15 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
 
 def pallas_dense_closest_hit(scene, origin, direction, active=None,
                              interpret=False, seed=None,
-                             packet: int = None, interleave: int = 1) -> Hit:
-    """Closest hit via the dense-row run kernel (scene.bvh_rows)."""
+                             packet: int = None, interleave: int = 1,
+                             hbm_leaves: bool = None) -> Hit:
+    """Closest hit via the dense-row run kernel (scene.bvh_rows).
+
+    ``hbm_leaves``: keep the leaf-triangle table in HBM and DMA the
+    up-to-3 visited rows per node row into VMEM scratch (issue all,
+    then intersect slot 0 while 1..2 stream in).  Auto-enabled when
+    the leaf table would not fit VMEM — this removes the scene-size
+    ceiling on the fast path (only the staged node rows must fit)."""
     n = origin.shape[0]
     if packet is None:
         packet = DENSE_PACKET
@@ -1946,16 +2002,24 @@ def pallas_dense_closest_hit(scene, origin, direction, active=None,
         scene.bvh_rows.shape[0] * 512
         + scene.tri_blocks.shape[0] * 512 > 90 * 1024 * 1024
     )
+    if hbm_leaves is None:
+        hbm_leaves = os.environ.get("VKPT_HBM_LEAVES") == "1" or (
+            C == 1 and not dense_fits_vmem(scene)
+        )
+    if hbm_leaves:
+        staged = True
     if getattr(scene, "instanced", False):
         out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
                               group_oct, scene.inst_inv,
                               orders=scene.bvh_orders,
                               interpret=interpret,
-                              mb_bits=scene.mb_bits, staged=staged)
+                              mb_bits=scene.mb_bits, staged=staged,
+                              hbm_leaves=hbm_leaves)
     else:
         out = _dense_traverse(scene.bvh_rows, scene.tri_blocks, rays,
                               group_oct, orders=scene.bvh_orders,
-                              interpret=interpret, staged=staged)
+                              interpret=interpret, staged=staged,
+                              hbm_leaves=hbm_leaves)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -1986,3 +2050,23 @@ def dense_fits_vmem(scene, budget_bytes: int = None) -> bool:
     # Staged mode: two octant blocks resident (double buffering).
     staged_rows = (scene.bvh_rows.shape[0] // scene.bvh_orders) * 2 * 512
     return (staged_rows + tri_bytes + state) < budget_bytes
+
+
+def dense_hbm_fits(scene, budget_bytes: int = None) -> bool:
+    """Fast-path feasibility with HBM-streamed leaves: only the two
+    staged octant node blocks (+ ray state) must fit VMEM, so the
+    scene ceiling moves from ~1M tris (leaf table) to tens of
+    millions (node rows at 32B/node)."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024
+        ))
+    if getattr(scene, "bvh_rows", None) is None or scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    staged_rows = (scene.bvh_rows.shape[0] // scene.bvh_orders) * 2 * 512
+    state = 8 * DENSE_PACKET * 4 * 4 * 2
+    return (staged_rows + state) < budget_bytes

@@ -78,6 +78,7 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
 
         from vulkan_pathtracer_tpu.ops.pallas_traverse import (
             dense_fits_vmem,
+            dense_hbm_fits,
             fits_vmem,
             pallas_closest_hit,
             pallas_dense_closest_hit,
@@ -99,6 +100,11 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             return pallas_dense_closest_hit(
                 scene, origin, direction, active,
                 interpret=not on_tpu, seed=seed,
+            )
+        if run_pallas and dense_hbm_fits(scene):
+            return pallas_dense_closest_hit(
+                scene, origin, direction, active,
+                interpret=not on_tpu, seed=seed, hbm_leaves=True,
             )
         return bvh_closest_hit(scene, origin, direction, active,
                                seed=seed)
@@ -173,6 +179,17 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 return pallas_dense_closest_hit(
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed,
+                )
+            from vulkan_pathtracer_tpu.ops.pallas_traverse import (
+                dense_hbm_fits,
+            )
+
+            if dense_hbm_fits(scene):
+                # Beyond the VMEM leaf-table ceiling: HBM-streamed
+                # leaves keep the fast kernel running (no XLA cliff).
+                return pallas_dense_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed, hbm_leaves=True,
                 )
     return bvh_closest_hit(scene, origin, direction, active, seed=seed)
 
