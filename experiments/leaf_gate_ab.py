@@ -485,6 +485,27 @@ def main():
                 dev, o, d, alive, packet=pk, leaf_gate=False)))
             for pk in (2048, 3072, 4096, 5120, 6144)
         ]
+    elif which == "pair":
+        # Pair-stack BVH2 kernel vs the preorder packet kernel on the
+        # SAME (6d-sorted) rays: two sibling boxes per visit, twin
+        # pipelined min-reductions, dynamic near-first via a shared
+        # SMEM stack, one canonical node table (no octant staging).
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_pair_closest_hit,
+        )
+
+        variants = [
+            ("packet pk3072 (prod)", lambda: pallas_closest_hit(
+                dev, o, d, alive, packet=3072, leaf_gate=False)),
+            ("pair pk2048   ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("pair pk3072   ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("pair pk4096   ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=4096)),
+            ("pair pk6144   ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=6144)),
+        ]
     elif which == "kmeans":
         # Union-aware packet FORMATION (run with UNSORTED=1): balanced
         # k-means in the 6d (origin, endpoint) space vs the production

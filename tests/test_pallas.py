@@ -291,3 +291,49 @@ def test_t_window_cascade_tiles_exactly(cols_dev):
     np.testing.assert_array_equal(np.asarray(tri), np.asarray(base.tri))
     np.testing.assert_allclose(np.asarray(t), np.asarray(base.t),
                                rtol=0, atol=0)
+
+
+def test_pair_kernel_matches(cols_dev):
+    """The pair-stack BVH2 kernel (shared SMEM stack, dynamic
+    near-first ordering, one canonical node table) must agree exactly
+    with the XLA traversal."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pair_fits_vmem,
+        pallas_pair_closest_hit,
+    )
+
+    assert pair_fits_vmem(cols_dev)
+    o, d = _rays(1700, seed=21)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_pair_closest_hit(cols_dev, o, d, interpret=True,
+                                  packet=512)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+
+
+def test_pair_kernel_active_mask_and_tnear(cols_dev):
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+    from vulkan_pathtracer_tpu.ops.intersect import MISS_T
+
+    o, d = _rays(600, seed=22)
+    rng = np.random.default_rng(0)
+    active = jnp.asarray(rng.random(600) < 0.6)
+    ref = bvh_closest_hit(cols_dev, o, d, active)
+    got = pallas_pair_closest_hit(cols_dev, o, d, active,
+                                  interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    # t-window: [t_near, t_far) hits only.
+    full = pallas_pair_closest_hit(cols_dev, o, d, interpret=True,
+                                   packet=512)
+    t_np = np.asarray(full.t)
+    lo_w = float(np.percentile(t_np[t_np < 1e31], 50))
+    win = pallas_pair_closest_hit(cols_dev, o, d, interpret=True,
+                                  packet=512, t_near=lo_w)
+    w_t = np.asarray(win.t)
+    inside = t_np >= lo_w
+    np.testing.assert_array_equal(w_t[inside & (t_np < 1e31)],
+                                  t_np[inside & (t_np < 1e31)])
+    assert (w_t[~inside] >= lo_w).all() | (w_t[~inside] == MISS_T).any()

@@ -1,0 +1,375 @@
+"""Paired-children packet traversal: a shared-stack BVH2 kernel.
+
+The round-1/2 packet kernel traverses a PREORDER skip-pointer array:
+one node per visit, one box test, one cross-lane reduction — and the
+~350-cycle load->slab->reduce->branch serial chain per visit is a
+measured hardware floor (three latency-hiding structures all lost;
+ROADMAP).  This kernel changes what a visit BUYS instead of what it
+costs:
+
+- Each (internal) node row stores BOTH children's boxes + links
+  (16 floats -> the same 512B tile-padded row the old kernel spent on
+  ONE node).  A visit slab-tests two sibling boxes and runs TWO
+  cross-lane min-reductions, which pipeline (~108 cycles for the
+  pair, per experiments/mosaic_costs.py) — so per node tested, the
+  serial-chain cost halves.
+- The reductions return the packet-min ENTRY DISTANCE per child, so
+  the packet descends the truly nearer child first and pushes the far
+  one on a packet-shared scalar stack (SMEM).  Dynamic near-to-far
+  ordering replaces the 8 static direction-octant linearizations —
+  and with them the 8x node-table duplication: ONE canonical table,
+  no octant staging, no scalar-prefetch index map.  The VMEM node
+  budget drops 16x vs the staged octant table (Nn/2 rows x 512B),
+  lifting the packet-kernel scene ceiling from ~550k to multi-M tris.
+- Both-children-miss pops the stack; an empty stack terminates.
+  Union semantics (any lane's hit drives descent) and the leaf
+  Moller-Trumbore block are IDENTICAL to the preorder kernel, so
+  results are bit-exact vs the XLA path / brute force.
+
+Reference anchor: this replaces the closest-hit scheduling the
+driver's RT hardware performs behind traceRayEXT
+(ray_gen.rgen:50-63); the stack lives per packet, not per ray,
+because traversal is union-based (SIMT lanes never diverge).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
+
+_LANE = 128
+STACK_CAP = 96  # >= max tree depth (SAH/LBVH builds are ~2logN; the
+# build asserts depth < cap)
+PAIR_BIG = np.float32(3e38)
+
+
+def build_pair_rows(bvh, block: int) -> np.ndarray:
+    """(Ni, 16) f32 rows for internal nodes, ordered by preorder rank
+    among internals (root = row 0):
+
+      [lo0.xyz, hi0.xyz, lo1.xyz, hi1.xyz, enc0, enc1, 0, 0]
+
+    enc >= 0: child's internal ROW index; enc < 0: leaf, value
+    -(leaf_block_row + 1) (leaf_first is block-aligned after
+    pad_leaves_to_blocks).
+    """
+    n = bvh.node_count
+    internal = bvh.left_child >= 0
+    ni = int(internal.sum())
+    if ni == 0:
+        raise ValueError("pair rows need an internal root")
+    row_of = np.cumsum(internal) - 1  # preorder rank among internals
+
+    def enc(child):
+        if internal[child]:
+            return float(row_of[child])
+        return -float(bvh.leaf_first[child] // block + 1)
+
+    rows = np.zeros((ni, 16), np.float32)
+    idx = np.nonzero(internal)[0]
+    for i in idx:
+        r = row_of[i]
+        l, rr = int(bvh.left_child[i]), int(bvh.right_child[i])
+        rows[r, 0:3] = bvh.bmin[l]
+        rows[r, 3:6] = bvh.bmax[l]
+        rows[r, 6:9] = bvh.bmin[rr]
+        rows[r, 9:12] = bvh.bmax[rr]
+        rows[r, 12] = enc(l)
+        rows[r, 13] = enc(rr)
+    return rows
+
+
+def _make_pair_kernel(n_rows: int, block: int, packet: int,
+                      tmin: float):
+    sub = packet // _LANE
+
+    def kernel(pairs_ref, tris_ref, rays_ref, out_ref, stack_ref):
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
+                 for i in range(12)]
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ox, oy, oz = comps[0], comps[1], comps[2]
+        dx, dy, dz = comps[3], comps[4], comps[5]
+        tl = comps[6]
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+        oxi, oyi, ozi = ox * ix, oy * iy, oz * iz
+        tnear = jnp.maximum(comps[11], jnp.float32(tmin))
+
+        t0 = comps[7]
+        tri0 = jax.lax.bitcast_convert_type(comps[8], jnp.int32)
+        u0 = comps[9]
+        v0 = comps[10]
+
+        big = jnp.float32(PAIR_BIG)
+
+        def slab(b):
+            tx0 = b[0] * ix - oxi
+            tx1 = b[3] * ix - oxi
+            ty0 = b[1] * iy - oyi
+            ty1 = b[4] * iy - oyi
+            tz0 = b[2] * iz - ozi
+            tz1 = b[5] * iz - ozi
+            return (tx0, tx1, ty0, ty1, tz0, tz1)
+
+        def mt_block(row, args):
+            t_best, tri_best, u_best, v_best = args
+            tri_base = row * block
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                t_lim = jnp.minimum(t_best, tl)
+                hit = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (t < t_lim))
+                t_best = jnp.where(hit, t, t_best)
+                tri_best = jnp.where(hit, tri_base + k, tri_best)
+                u_best = jnp.where(hit, u, u_best)
+                v_best = jnp.where(hit, v, v_best)
+            return t_best, tri_best, u_best, v_best
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            cur, sp, t_best, tri_best, u_best, v_best = state
+            f = [pairs_ref[cur, i] for i in range(14)]
+            t_lim = jnp.minimum(t_best, tl)
+
+            s0 = slab(f[0:6])
+            s1 = slab(f[6:12])
+
+            def entry(s):
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(s[0], s[1]),
+                                jnp.minimum(s[2], s[3])),
+                    jnp.maximum(jnp.minimum(s[4], s[5]), tnear),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(s[0], s[1]),
+                                jnp.maximum(s[2], s[3])),
+                    jnp.minimum(jnp.maximum(s[4], s[5]), t_lim),
+                )
+                return jnp.where(tn <= tf, tn, big)
+
+            e0 = entry(s0)
+            e1 = entry(s1)
+            # Two independent cross-lane mins — they pipeline.
+            m0 = jnp.min(e0)
+            m1 = jnp.min(e1)
+            h0 = m0 < big
+            h1 = m1 < big
+
+            c0 = f[12]
+            c1 = f[13]
+            leaf0 = c0 < 0.0
+            leaf1 = c1 < 0.0
+
+            # Leaf children intersect immediately (near one first so
+            # its t_best tightens the far one's MT window).
+            near0 = m0 <= m1
+            hits = (t_best, tri_best, u_best, v_best)
+
+            def leaf_mt(cv, hits):
+                row = (-cv).astype(jnp.int32) - 1
+                return mt_block(row, hits)
+
+            def maybe_leaf(h, lf, cv, hits):
+                return jax.lax.cond(
+                    jnp.logical_and(h, lf),
+                    functools.partial(leaf_mt, cv),
+                    lambda a: a,
+                    hits,
+                )
+
+            def first_then_second(hits):
+                hits = maybe_leaf(h0, leaf0, c0, hits)
+                return maybe_leaf(h1, leaf1, c1, hits)
+
+            def second_then_first(hits):
+                hits = maybe_leaf(h1, leaf1, c1, hits)
+                return maybe_leaf(h0, leaf0, c0, hits)
+
+            t_best, tri_best, u_best, v_best = jax.lax.cond(
+                near0, first_then_second, second_then_first, hits)
+
+            # Internal descend / push.
+            i0 = jnp.logical_and(h0, jnp.logical_not(leaf0))
+            i1 = jnp.logical_and(h1, jnp.logical_not(leaf1))
+            both = jnp.logical_and(i0, i1)
+            near_enc = jnp.where(near0, c0, c1).astype(jnp.int32)
+            far_enc = jnp.where(near0, c1, c0).astype(jnp.int32)
+
+            @pl.when(both)
+            def _():
+                stack_ref[sp] = far_enc
+
+            sp_pushed = sp + both.astype(jnp.int32)
+            one = jnp.where(i0, c0, c1).astype(jnp.int32)
+            desc = jnp.logical_or(i0, i1)
+            nxt_desc = jnp.where(both, near_enc, one)
+
+            popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
+            can_pop = sp_pushed > 0
+            cur_new = jnp.where(
+                desc, nxt_desc,
+                jnp.where(can_pop, popped, jnp.int32(-1)),
+            )
+            sp_new = jnp.where(desc, sp_pushed,
+                               jnp.maximum(sp_pushed - 1, 0))
+            return (cur_new, sp_new, t_best, tri_best, u_best, v_best)
+
+        init = (jnp.int32(0), jnp.int32(0), t0, tri0, u0, v0)
+        _, _, tb, trib, ub, vb = jax.lax.while_loop(cond, body, init)
+        out_ref[0, 0, 0, :] = tb.reshape(-1)
+        out_ref[0, 0, 1, :] = jax.lax.bitcast_convert_type(
+            trib, jnp.float32).reshape(-1)
+        out_ref[0, 0, 2, :] = ub.reshape(-1)
+        out_ref[0, 0, 3, :] = vb.reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pair_traverse(pairs, tris, rays, *, interpret=False):
+    """pairs: (Ni, 16) f32; tris: (n_leaves, block*9) f32; rays:
+    (G, 1, 12, PACKET) f32.  Returns (G, 1, 4, PACKET) f32."""
+    n_rows = pairs.shape[0]
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, _, _, packet = rays.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+    )
+    kernel = _make_pair_kernel(n_rows, block, packet, TMIN)
+    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(pairs, tris, rays)
+
+
+def pair_fits_vmem(scene, budget_bytes: int = None,
+                   packet: int = None) -> bool:
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
+    if getattr(scene, "bvh_pair", None) is None or \
+            scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    if packet is None:
+        packet = 4096
+    state = 8 * packet * 4 * 4 * 2
+    need = (scene.bvh_pair.shape[0] * 512
+            + scene.tri_blocks.shape[0] * 512 + state)
+    return need < budget_bytes
+
+
+def pallas_pair_closest_hit(scene, origin, direction, active=None,
+                            interpret=False, seed=None,
+                            packet: int = None, t_far=None,
+                            t_near=None) -> Hit:
+    """Drop-in closest hit via the pair-stack kernel (bvh_pair)."""
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import _seed_channels
+
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_PAIR_PACKET", "3072"))
+
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if t_far is not None:
+        t_lane = jnp.minimum(t_lane, jnp.broadcast_to(
+            jnp.asarray(t_far, jnp.float32), (n,)))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    tn_lane = jnp.zeros((n,), jnp.float32)
+    if t_near is not None:
+        tn_lane = jnp.broadcast_to(
+            jnp.asarray(t_near, jnp.float32), (n,))
+
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    st, strif, su, sv = _seed_channels(n, seed)
+    miss_bits = float(
+        np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0])
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, miss_bits),
+            pad1(su), pad1(sv),
+            pad1(tn_lane),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    out = _pair_traverse(scene.bvh_pair, scene.tri_blocks, rays,
+                         interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+    t = out[0]
+    tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return Hit(t=t, tri=tri, u=out[2], v=out[3])
