@@ -194,3 +194,24 @@ def test_deforming_rebuild_per_frame(columns_glb):
         np.testing.assert_allclose(np.asarray(got.t),
                                    np.asarray(ref.t),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_device_build_pair_kernel_parity(columns_glb):
+    """The device-built pair-stack table traverses exactly like the
+    XLA path over the same rebuilt scene."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+
+    host = gltf.load(columns_glb)
+    template = build_device_scene(host, build_bvh=False)
+    rebuilt = device_rebuild_scene(
+        template, template.tri_v0, template.tri_e1, template.tri_e2,
+        template.tri_gn, template.tri_attr)
+    o, d = _rays(700, seed=31)
+    ref = bvh_closest_hit(rebuilt, o, d)
+    got = pallas_pair_closest_hit(rebuilt, o, d, interpret=True,
+                                  packet=512)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))

@@ -381,6 +381,25 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
             return jnp.pad(arr, pad)
         return arr
 
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        build_pair_rows_device,
+    )
+
+    # Pair-stack table over the Karras build order (root = internal
+    # 0); Ni = L - 1 internals (static given t/block).
+    n_build = built["left"].shape[0]
+    bmin_build = jnp.zeros((n_build, 3), jnp.float32)
+    bmax_build = jnp.zeros((n_build, 3), jnp.float32)
+    # Build-order boxes: octant 0's perm maps preorder -> build id.
+    perm0 = built["perm"][:n_nodes]
+    bmin_build = bmin_build.at[perm0].set(built["bmin"][:n_nodes])
+    bmax_build = bmax_build.at[perm0].set(built["bmax"][:n_nodes])
+    ni = max(n_build - (n_build + 1) // 2, 1)
+    pair = build_pair_rows_device(
+        bmin_build, bmax_build, built["left"], built["right"],
+        built["leaf_first_build"], block,
+    )[:ni] if n_build > 1 else None
+
     tail = jnp.stack(
         [jax.lax.bitcast_convert_type(built["skip_local"], jnp.float32),
          jax.lax.bitcast_convert_type(built["leaf_first"], jnp.float32)],
@@ -421,6 +440,7 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
         bvh_packed=packed,
         bvh_packed_tail=tail,
         bvh_rows=rows,
+        bvh_pair=pair,
         tri_blocks=flat.reshape(n_slots // block, block * 9),
         bvh_wide_nodes=None,
         bvh_depth=built["depth"],

@@ -87,6 +87,43 @@ def build_pair_rows(bvh, block: int) -> np.ndarray:
     return rows
 
 
+def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
+                           block: int):
+    """jnp version of build_pair_rows over BUILD-order arrays —
+    regenerates the pair table after a device refit or device build
+    (topology static, boxes fresh).  Returns (Ni, 16) f32 with Ni
+    inferred from the static left/right arrays via shape-stable
+    masking (Ni = number of internal nodes, known at trace time from
+    the host-built topology)."""
+    internal = left >= 0
+    row_of = (jnp.cumsum(internal.astype(jnp.int32)) - 1)
+    li = jnp.maximum(left, 0)
+    ri = jnp.maximum(right, 0)
+
+    def enc(child):
+        child_internal = jnp.take(internal, child)
+        child_row = jnp.take(row_of, child).astype(jnp.float32)
+        leaf_val = -(jnp.take(leaf_first, child) // block
+                     + 1).astype(jnp.float32)
+        return jnp.where(child_internal, child_row, leaf_val)
+
+    rows_all = jnp.concatenate(
+        [
+            jnp.take(bmin, li, axis=0), jnp.take(bmax, li, axis=0),
+            jnp.take(bmin, ri, axis=0), jnp.take(bmax, ri, axis=0),
+            enc(li)[:, None], enc(ri)[:, None],
+            jnp.zeros((left.shape[0], 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    # Compact internals to the front IN PREORDER-RANK ORDER: build
+    # order is preorder, so stable selection preserves rank.  Use a
+    # static-shape gather: positions of internals via argsort of
+    # (~internal) — stable, internals keep relative order.
+    order = jnp.argsort(jnp.logical_not(internal), stable=True)
+    return jnp.take(rows_all, order, axis=0)
+
+
 def _make_pair_kernel(n_rows: int, block: int, packet: int,
                       tmin: float):
     sub = packet // _LANE

@@ -149,12 +149,38 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
         # VMEM-fit fallback tier (including for instanced scenes — the
         # packet kernel gained instanced leaf decode and is preferred
         # there too).
-        if traversal == "pallas" or (
+        if traversal in ("pallas", "pair") or (
             traversal == "auto" and on_tpu
         ):
-            if fits_vmem(scene):
-                import os
+            import os
 
+            from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                pair_fits_vmem,
+                pallas_pair_closest_hit,
+            )
+
+            # Pair-stack BVH2 kernel: measured 1.32x over the preorder
+            # packet kernel on 6d-sorted atrium secondaries (653 vs
+            # 859 ms) and 1.97x unsorted (dynamic near-first beats the
+            # static octant orders), with a 16x smaller node table.
+            # VKPT_PAIR=0 opts out.
+            use_pair = (os.environ.get("VKPT_PAIR", "1") == "1"
+                        or traversal == "pair")
+            if use_pair and pair_fits_vmem(scene):
+                if phase == "secondary":
+                    # Measured best: 653 ms @ pk3072 (vs 668/687/835
+                    # at 2048/4096/6144) on sorted atrium secondaries.
+                    pk = int(os.environ.get(
+                        "VKPT_PAIR_PACKET_SECONDARY", 3072))
+                else:
+                    # 66 ms @ pk4096 vs 70 @ 2048 on tiled primaries.
+                    pk = int(os.environ.get(
+                        "VKPT_PAIR_PACKET_PRIMARY", 4096))
+                return pallas_pair_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed, packet=pk,
+                )
+            if fits_vmem(scene):
                 if phase == "secondary":
                     # 6d endpoint-pair sort key (L=0.5*diag) + leaf-14
                     # + pk3072 plain is the measured best (830 ms on
