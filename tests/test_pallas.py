@@ -337,3 +337,32 @@ def test_pair_kernel_active_mask_and_tnear(cols_dev):
     np.testing.assert_array_equal(w_t[inside & (t_np < 1e31)],
                                   t_np[inside & (t_np < 1e31)])
     assert (w_t[~inside] >= lo_w).all() | (w_t[~inside] == MISS_T).any()
+
+
+def test_quad_kernel_matches(cols_dev):
+    """4-wide pair-stack kernel (BVH4 collapse) vs XLA traversal."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_closest_hit,
+    )
+
+    o, d = _rays(1700, seed=41)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_quad_closest_hit(cols_dev, o, d, interpret=True,
+                                  packet=512)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+
+
+def test_quad_kernel_active_mask(cols_dev):
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_closest_hit,
+    )
+
+    o, d = _rays(600, seed=42)
+    rng = np.random.default_rng(2)
+    active = jnp.asarray(rng.random(600) < 0.6)
+    ref = bvh_closest_hit(cols_dev, o, d, active)
+    got = pallas_quad_closest_hit(cols_dev, o, d, active,
+                                  interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))

@@ -87,6 +87,70 @@ def build_pair_rows(bvh, block: int) -> np.ndarray:
     return rows
 
 
+def build_quad_rows(bvh, block: int) -> np.ndarray:
+    """(N4, 32) f32 rows for a 4-ary collapse of the binary tree:
+    each super-node's slots are its grandchildren (a leaf child fills
+    one slot directly).  Layout per row:
+
+      [lo0,hi0, lo1,hi1, lo2,hi2, lo3,hi3 (24), enc0..enc3 (4), pad]
+
+    enc >= 0: child super-node ROW; enc < 0: leaf block row,
+    -(row+1); empty slots carry enc = NaN-free sentinel -2^30 boxes
+    that never hit (lo=+BIG, hi=-BIG) and enc pointing at leaf row 0
+    (never used: the box misses).
+    """
+    n = bvh.node_count
+    internal = bvh.left_child >= 0
+    if not internal[0]:
+        raise ValueError("quad rows need an internal root")
+
+    # Enumerate super-nodes: root + internal grandchildren reachable
+    # through the collapse.
+    super_ids = []
+    super_row = {}
+    children = []  # per super: list of (kind, id) kind in {leaf, super}
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if node in super_row:
+            continue
+        super_row[node] = len(super_ids)
+        super_ids.append(node)
+        slots = []
+        for ch in (int(bvh.left_child[node]), int(bvh.right_child[node])):
+            if internal[ch]:
+                for gc in (int(bvh.left_child[ch]),
+                           int(bvh.right_child[ch])):
+                    slots.append(gc)
+            else:
+                slots.append(ch)
+        kids = []
+        for s in slots:
+            if internal[s]:
+                kids.append(("super", s))
+                stack.append(s)
+            else:
+                kids.append(("leaf", s))
+        children.append((node, kids))
+
+    n4 = len(super_ids)
+    rows = np.zeros((n4, 32), np.float32)
+    rows[:, 0:24:6] = PAIR_BIG       # lo.x = +BIG -> slab miss
+    rows[:, 3:24:6] = -PAIR_BIG      # hi.x = -BIG
+    rows[:, 24:28] = -1.0            # unused enc -> leaf row 0
+    for node, kids in children:
+        r = super_row[node]
+        for s, (kind, cid) in enumerate(kids):
+            rows[r, s * 6:s * 6 + 3] = bvh.bmin[cid]
+            rows[r, s * 6 + 3:s * 6 + 6] = bvh.bmax[cid]
+            if kind == "super":
+                rows[r, 24 + s] = float(super_row[cid])
+            else:
+                rows[r, 24 + s] = -float(
+                    bvh.leaf_first[cid] // block + 1)
+    return rows
+
+
 def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
                            block: int):
     """jnp version of build_pair_rows over BUILD-order arrays —
@@ -299,6 +363,260 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
         out_ref[0, 0, 3, :] = vb.reshape(-1)
 
     return kernel
+
+
+def _make_quad_kernel(n_rows: int, block: int, packet: int,
+                      tmin: float):
+    sub = packet // _LANE
+
+    def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref):
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
+                 for i in range(12)]
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ox, oy, oz = comps[0], comps[1], comps[2]
+        dx, dy, dz = comps[3], comps[4], comps[5]
+        tl = comps[6]
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+        oxi, oyi, ozi = ox * ix, oy * iy, oz * iz
+        tnear = jnp.maximum(comps[11], jnp.float32(tmin))
+
+        t0 = comps[7]
+        tri0 = jax.lax.bitcast_convert_type(comps[8], jnp.int32)
+        u0 = comps[9]
+        v0 = comps[10]
+        big = jnp.float32(PAIR_BIG)
+
+        def mt_block(row, args):
+            t_best, tri_best, u_best, v_best = args
+            tri_base = row * block
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                t_lim = jnp.minimum(t_best, tl)
+                hit = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (t < t_lim))
+                t_best = jnp.where(hit, t, t_best)
+                tri_best = jnp.where(hit, tri_base + k, tri_best)
+                u_best = jnp.where(hit, u, u_best)
+                v_best = jnp.where(hit, v, v_best)
+            return t_best, tri_best, u_best, v_best
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            cur, sp, t_best, tri_best, u_best, v_best = state
+            f = [quads_ref[cur, i] for i in range(28)]
+            t_lim = jnp.minimum(t_best, tl)
+
+            def entry(s):
+                b = f[s * 6:s * 6 + 6]
+                tx0 = b[0] * ix - oxi
+                tx1 = b[3] * ix - oxi
+                ty0 = b[1] * iy - oyi
+                ty1 = b[4] * iy - oyi
+                tz0 = b[2] * iz - ozi
+                tz1 = b[5] * iz - ozi
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tnear),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), t_lim),
+                )
+                return jnp.where(tn <= tf, tn, big)
+
+            es = [entry(s) for s in range(4)]
+            # Four independent cross-lane mins — they pipeline.
+            ms = [jnp.min(e) for e in es]
+            encs = [f[24 + s] for s in range(4)]
+            hits = [m < big for m in ms]
+            leafs = [c < 0.0 for c in encs]
+
+            # Leaf slots: MT immediately (fixed slot order).
+            hb = (t_best, tri_best, u_best, v_best)
+            for s in range(4):
+                hb = jax.lax.cond(
+                    jnp.logical_and(hits[s], leafs[s]),
+                    functools.partial(
+                        lambda cv, a: mt_block(
+                            (-cv).astype(jnp.int32) - 1, a), encs[s]),
+                    lambda a: a,
+                    hb,
+                )
+            t_best, tri_best, u_best, v_best = hb
+
+            # Internal slots: sort (near first) and push far-to-near.
+            keys = [jnp.where(
+                jnp.logical_and(hits[s], jnp.logical_not(leafs[s])),
+                ms[s], big) for s in range(4)]
+            ks = list(keys)
+            cs = [c.astype(jnp.int32) for c in encs]
+
+            def cswap(a, b):
+                lt = ks[a] <= ks[b]
+                ka = jnp.where(lt, ks[a], ks[b])
+                kb = jnp.where(lt, ks[b], ks[a])
+                ca = jnp.where(lt, cs[a], cs[b])
+                cb = jnp.where(lt, cs[b], cs[a])
+                ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
+
+            cswap(0, 1)
+            cswap(2, 3)
+            cswap(0, 2)
+            cswap(1, 3)
+            cswap(1, 2)
+
+            live = [k < big for k in ks]
+            p3 = sp
+            p2 = p3 + live[3].astype(jnp.int32)
+            p1 = p2 + live[2].astype(jnp.int32)
+            sp_pushed = p1 + live[1].astype(jnp.int32)
+
+            @pl.when(live[3])
+            def _():
+                stack_ref[p3] = cs[3]
+
+            @pl.when(live[2])
+            def _():
+                stack_ref[p2] = cs[2]
+
+            @pl.when(live[1])
+            def _():
+                stack_ref[p1] = cs[1]
+
+            desc = live[0]
+            popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
+            can_pop = sp_pushed > 0
+            cur_new = jnp.where(
+                desc, cs[0],
+                jnp.where(can_pop, popped, jnp.int32(-1)))
+            sp_new = jnp.where(desc, sp_pushed,
+                               jnp.maximum(sp_pushed - 1, 0))
+            return (cur_new, sp_new, t_best, tri_best, u_best, v_best)
+
+        init = (jnp.int32(0), jnp.int32(0), t0, tri0, u0, v0)
+        _, _, tb, trib, ub, vb = jax.lax.while_loop(cond, body, init)
+        out_ref[0, 0, 0, :] = tb.reshape(-1)
+        out_ref[0, 0, 1, :] = jax.lax.bitcast_convert_type(
+            trib, jnp.float32).reshape(-1)
+        out_ref[0, 0, 2, :] = ub.reshape(-1)
+        out_ref[0, 0, 3, :] = vb.reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _quad_traverse(quads, tris, rays, *, interpret=False):
+    """quads: (N4, 32) f32; tris: (n_leaves, block*9); rays:
+    (G, 1, 12, PACKET).  Returns (G, 1, 4, PACKET)."""
+    n_rows = quads.shape[0]
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, _, _, packet = rays.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n_rows, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((3 * STACK_CAP,), jnp.int32)],
+    )
+    kernel = _make_quad_kernel(n_rows, block, packet, TMIN)
+    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(quads, tris, rays)
+
+
+def pallas_quad_closest_hit(scene, origin, direction, active=None,
+                            interpret=False, seed=None,
+                            packet: int = None) -> Hit:
+    """Closest hit via the 4-wide pair-stack kernel (bvh_quad)."""
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import _seed_channels
+
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    st, strif, su, sv = _seed_channels(n, seed)
+    miss_bits = float(
+        np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0])
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, miss_bits),
+            pad1(su), pad1(sv),
+            jnp.zeros((total,), jnp.float32),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    out = _quad_traverse(scene.bvh_quad, scene.tri_blocks, rays,
+                         interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+    t = out[0]
+    tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
