@@ -494,6 +494,10 @@ def main():
             pallas_pair_closest_hit,
         )
 
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_quad_closest_hit,
+        )
+
         variants = [
             ("packet pk3072 (prod)", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=3072, leaf_gate=False)),
@@ -505,6 +509,12 @@ def main():
                 dev, o, d, alive, packet=4096)),
             ("pair pk6144   ", lambda: pallas_pair_closest_hit(
                 dev, o, d, alive, packet=6144)),
+            ("quad pk2048   ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("quad pk3072   ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("quad pk4096   ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=4096)),
         ]
     elif which == "kmeans":
         # Union-aware packet FORMATION (run with UNSORTED=1): balanced
