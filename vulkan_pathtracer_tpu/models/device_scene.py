@@ -127,6 +127,8 @@ class DeviceScene:
     # internal nodes with BOTH children's boxes + links per row.
     bvh_pair: Optional[jnp.ndarray] = None     # (Ni, 16) f32
     bvh_quad: Optional[jnp.ndarray] = None     # (N4, 32) f32 4-wide
+    bvh_quad_src: Optional[jnp.ndarray] = None  # (N4, 4) int32 refit map
+    bvh_quad_enc: Optional[jnp.ndarray] = None  # (N4, 4) f32 slot links
     # Dense node rows for the run-kernel (ops/pallas_traverse.py):
     # 16 preorder nodes per 128-lane row (node n of octant o lives at
     # row o*R + n//16, lanes (n%16)*8 .. +7 = bmin,bmax,skip,leaf as
@@ -172,7 +174,7 @@ class DeviceScene:
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_pair",
-        "bvh_quad", "bvh_rows",
+        "bvh_quad", "bvh_quad_src", "bvh_quad_enc", "bvh_rows",
         "inst_inv", "inst_nrm", "asm_inst", "asm_src",
         "mesh_obj_bmin", "mesh_obj_bmax", "inst_root_obj",
         "top_left", "top_right", "top_leaf_inst", "top_asm_pos",
@@ -633,10 +635,14 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             from vulkan_pathtracer_tpu.ops.pallas_pair import (
                 build_pair_rows,
                 build_quad_rows,
+                quad_static_maps,
             )
 
             dev.bvh_pair = jnp.asarray(
                 build_pair_rows(bvh, max_leaf_size))
             dev.bvh_quad = jnp.asarray(
                 build_quad_rows(bvh, max_leaf_size))
+            qsrc, qenc = quad_static_maps(bvh, max_leaf_size)
+            dev.bvh_quad_src = jnp.asarray(qsrc)
+            dev.bvh_quad_enc = jnp.asarray(qenc)
     return dev

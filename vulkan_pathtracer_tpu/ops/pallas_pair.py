@@ -135,8 +135,9 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
 
     n4 = len(super_ids)
     rows = np.zeros((n4, 32), np.float32)
-    rows[:, 0:24:6] = PAIR_BIG       # lo.x = +BIG -> slab miss
-    rows[:, 3:24:6] = -PAIR_BIG      # hi.x = -BIG
+    for s_ in range(4):
+        rows[:, s_ * 6:s_ * 6 + 3] = PAIR_BIG    # lo = +BIG: never hits
+        rows[:, s_ * 6 + 3:s_ * 6 + 6] = -PAIR_BIG
     rows[:, 24:28] = -1.0            # unused enc -> leaf row 0
     for node, kids in children:
         r = super_row[node]
@@ -149,6 +150,82 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
                 rows[r, 24 + s] = -float(
                     bvh.leaf_first[cid] // block + 1)
     return rows
+
+
+def quad_static_maps(bvh, block: int):
+    """Static (src, enc) maps for device-side quad-row regeneration
+    after refit: src (N4, 4) int32 build-order node ids per slot (-1
+    = empty), enc (N4, 4) f32 slot links (same encoding as
+    build_quad_rows).  The 4-ary collapse topology is box-independent,
+    so refit only re-gathers boxes through src."""
+    rows = build_quad_rows(bvh, block)
+    # Recover src by re-walking (same traversal as build_quad_rows).
+    internal = bvh.left_child >= 0
+    super_ids = []
+    super_row = {}
+    slots_of = []
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if node in super_row:
+            continue
+        super_row[node] = len(super_ids)
+        super_ids.append(node)
+        slots = []
+        for ch in (int(bvh.left_child[node]), int(bvh.right_child[node])):
+            if internal[ch]:
+                slots.append(int(bvh.left_child[ch]))
+                slots.append(int(bvh.right_child[ch]))
+                for gc in (int(bvh.left_child[ch]),
+                           int(bvh.right_child[ch])):
+                    if internal[gc]:
+                        stack.append(gc)
+            else:
+                slots.append(ch)
+        slots_of.append(slots)
+    n4 = len(super_ids)
+    src = np.full((n4, 4), -1, np.int32)
+    for r, slots in enumerate(slots_of):
+        for s, cid in enumerate(slots):
+            src[r, s] = cid
+    enc = rows[:, 24:28].copy()
+    return src, enc
+
+
+def build_quad_rows_device(bmin_build, bmax_build, src, enc):
+    """Regenerate (N4, 32) quad rows from refitted BUILD-order boxes
+    through the static (src, enc) maps."""
+    n4 = src.shape[0]
+    valid = src >= 0
+    idx = jnp.maximum(src, 0)
+    lo = jnp.take(bmin_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
+    hi = jnp.take(bmax_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
+    lo = jnp.where(valid[..., None], lo,
+                   jnp.float32(PAIR_BIG))
+    hi = jnp.where(valid[..., None], hi,
+                   jnp.float32(-PAIR_BIG))
+    boxes = jnp.concatenate([lo, hi], axis=2).reshape(n4, 24)
+    return jnp.concatenate(
+        [boxes, enc, jnp.zeros((n4, 4), jnp.float32)], axis=1)
+
+
+def quad_fits_vmem(scene, budget_bytes: int = None,
+                   packet: int = None) -> bool:
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
+    if getattr(scene, "bvh_quad", None) is None or             scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    if packet is None:
+        packet = 4096
+    state = 8 * packet * 4 * 4 * 2
+    need = (scene.bvh_quad.shape[0] * 512
+            + scene.tri_blocks.shape[0] * 512 + state)
+    return need < budget_bytes
 
 
 def build_pair_rows_device(bmin, bmax, left, right, leaf_first,

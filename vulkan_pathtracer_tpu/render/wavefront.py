@@ -157,16 +157,31 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             from vulkan_pathtracer_tpu.ops.pallas_pair import (
                 pair_fits_vmem,
                 pallas_pair_closest_hit,
+                pallas_quad_closest_hit,
+                quad_fits_vmem,
             )
 
-            # Pair-stack BVH2 kernel: measured 1.32x over the preorder
-            # packet kernel on 6d-sorted atrium secondaries (653 vs
-            # 859 ms) and 1.97x unsorted (dynamic near-first beats the
-            # static octant orders), with a 16x smaller node table.
-            # VKPT_PAIR=0 opts out.
-            use_pair = (os.environ.get("VKPT_PAIR", "1") == "1"
-                        or traversal == "pair")
-            if use_pair and pair_fits_vmem(scene):
+            # Stack kernels beat the preorder packet kernel on atrium
+            # secondaries (872 ms packet -> 668 pair -> 554 quad; all
+            # checksum-identical) and primaries (88 -> 66 pair):
+            # shared-stack dynamic near-first replaces octant orders
+            # and amortizes the per-visit serial chain over 2/4
+            # sibling boxes with pipelined min-reductions.  Tier:
+            # quad -> pair -> preorder packet.  VKPT_PAIR=0 opts out
+            # of both.
+            use_stack = (os.environ.get("VKPT_PAIR", "1") == "1"
+                         or traversal == "pair")
+            if use_stack and os.environ.get("VKPT_QUAD", "1") == "1" \
+                    and quad_fits_vmem(scene):
+                pk = int(os.environ.get(
+                    "VKPT_QUAD_PACKET_SECONDARY"
+                    if phase == "secondary"
+                    else "VKPT_QUAD_PACKET_PRIMARY", 2048))
+                return pallas_quad_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed, packet=pk,
+                )
+            if use_stack and pair_fits_vmem(scene):
                 if phase == "secondary":
                     # Measured best: 653 ms @ pk3072 (vs 668/687/835
                     # at 2048/4096/6144) on sorted atrium secondaries.
