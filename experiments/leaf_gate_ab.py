@@ -155,20 +155,24 @@ def main():
                 dev, o, d, alive, packet=8192, leaf_gate=True)),
         ]
     elif which == "prim":
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_pair_closest_hit,
+            pallas_quad_closest_hit,
+        )
+
         variants = [
-            ("dense pk2048 (prod primary)",
-             lambda: pallas_dense_closest_hit(
-                 dev, o, d, alive, packet=2048, interleave=1)),
             ("packet pk4096", lambda: pallas_closest_hit(
                 dev, o, d, alive, packet=4096, leaf_gate=False)),
-            ("packet pk2048", lambda: pallas_closest_hit(
-                dev, o, d, alive, packet=2048, leaf_gate=False)),
-            ("pk4096 gmt1  ", lambda: pallas_closest_hit(
-                dev, o, d, alive, packet=4096, group_mt=1)),
-            ("pk8192 gmt1  ", lambda: pallas_closest_hit(
-                dev, o, d, alive, packet=8192, group_mt=1)),
-            ("pk8192 gmt2  ", lambda: pallas_closest_hit(
-                dev, o, d, alive, packet=8192, group_mt=2)),
+            ("pair pk4096  ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=4096)),
+            ("quad pk2048  ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("quad pk3072  ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("quad pk4096  ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=4096)),
+            ("dense pk2048 ", lambda: pallas_dense_closest_hit(
+                dev, o, d, alive, packet=2048, interleave=1)),
         ]
     elif which == "prod":
         variants = [
