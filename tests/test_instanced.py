@@ -196,3 +196,36 @@ def test_mirrored_instance_culling():
     got = bvh_closest_hit(inst, o, d)
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_instanced_pair_kernel_parity(columns_glb):
+    """Pair-stack kernel with instanced leaf decode (packed
+    inst|block values, object-space MT, det_sign cull) vs the XLA
+    traversal over the same two-level scene."""
+    import jax.numpy as jnp
+
+    from vulkan_pathtracer_tpu.models import gltf
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+    from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+
+    host = gltf.load(columns_glb)
+    inst = build_instanced_scene(host, max_leaf_size=8)
+    assert inst.bvh_pair is not None
+    rng = np.random.default_rng(13)
+    n = 900
+    o = jnp.asarray(rng.uniform(-9, 9, size=(n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+
+    ref = bvh_closest_hit(inst, o, d)
+    got = pallas_pair_closest_hit(inst, o, d, interpret=True,
+                                  packet=512)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999

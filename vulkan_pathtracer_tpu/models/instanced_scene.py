@@ -392,6 +392,20 @@ def build_instanced_scene(scene: Scene, max_leaf_size: int = 8) -> DeviceScene:
     )[: total_blocks * block]
     dev.tri_blocks = jnp.asarray(flat.reshape(total_blocks, block * 9))
 
+    # Pair-stack kernel table from the octant-0 spliced preorder
+    # (dynamic near-first supersedes the static octant choice; leaf
+    # encs carry the packed (inst << mb_bits | block) values which the
+    # kernel's instanced MT decodes).
+    if nn_total > 1:
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            build_pair_rows_preorder,
+        )
+
+        dev.bvh_pair = jnp.asarray(build_pair_rows_preorder(
+            bmin_s[:nn_total], bmax_s[:nn_total],
+            skip_local[:nn_total], leaf_vals[:nn_total],
+        ))
+
     # Instancing metadata.
     dev.instanced = True
     dev.mb_bits = mb_bits

@@ -152,6 +152,41 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
     return rows
 
 
+def build_pair_rows_preorder(bmin, bmax, skip_local, leaf_first
+                             ) -> np.ndarray:
+    """Pair rows from ONE preorder+skip linearization (numpy).  For a
+    binary preorder tree: left(n) = n+1, right(n) = skip(n+1).  Leaf
+    enc = -(leaf_value + 1) with leaf_value passed through VERBATIM
+    (flat scenes store block-aligned slots; instanced scenes store
+    packed (inst << mb_bits | mesh block) values — the kernel's
+    instanced flag picks the decoding)."""
+    n = bmin.shape[0]
+    internal = leaf_first < 0
+    ni = int(internal.sum())
+    if ni == 0:
+        raise ValueError("pair rows need an internal root")
+    row_of = np.cumsum(internal) - 1
+    rows = np.zeros((ni, 16), np.float32)
+    idx = np.nonzero(internal)[0]
+    left = idx + 1
+    right = skip_local[left]
+
+    def enc(child):
+        if internal[child]:
+            return float(row_of[child])
+        return -float(leaf_first[child] + 1)
+
+    for i, l, r in zip(idx, left, right):
+        rr = row_of[i]
+        rows[rr, 0:3] = bmin[l]
+        rows[rr, 3:6] = bmax[l]
+        rows[rr, 6:9] = bmin[r]
+        rows[rr, 9:12] = bmax[r]
+        rows[rr, 12] = enc(l)
+        rows[rr, 13] = enc(int(r))
+    return rows
+
+
 def quad_static_maps(bvh, block: int):
     """Static (src, enc) maps for device-side quad-row regeneration
     after refit: src (N4, 4) int32 build-order node ids per slot (-1
@@ -266,10 +301,16 @@ def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
 
 
 def _make_pair_kernel(n_rows: int, block: int, packet: int,
-                      tmin: float):
+                      tmin: float, instanced: bool = False,
+                      mb_bits: int = 0):
     sub = packet // _LANE
 
-    def kernel(pairs_ref, tris_ref, rays_ref, out_ref, stack_ref):
+    def kernel(pairs_ref, tris_ref, *rest):
+        if instanced:
+            inst_ref, rays_ref, out_ref, stack_ref = rest
+        else:
+            inst_ref = None
+            rays_ref, out_ref, stack_ref = rest
         comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
                  for i in range(12)]
         eps = jnp.float32(1e-20)
@@ -301,9 +342,31 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
             tz1 = b[5] * iz - ozi
             return (tx0, tx1, ty0, ty1, tz0, tz1)
 
-        def mt_block(row, args):
+        def mt_block(leaf_i, args):
             t_best, tri_best, u_best, v_best = args
-            tri_base = row * block
+            mox, moy, moz = ox, oy, oz
+            mdx, mdy, mdz = dx, dy, dz
+            if instanced:
+                # Packed leaf (inst << mb_bits | mesh block): object-
+                # space transform, world-winding cull via det_sign —
+                # same contract as the packet/dense kernels.
+                inst = leaf_i >> mb_bits
+                row = leaf_i & ((1 << mb_bits) - 1)
+                m = [inst_ref[inst, f_] for f_ in range(13)]
+                det_sign = m[12]
+                tri_base = leaf_i * block
+                nox = m[0] * mox + m[1] * moy + m[2] * moz + m[9]
+                noy = m[3] * mox + m[4] * moy + m[5] * moz + m[10]
+                noz = m[6] * mox + m[7] * moy + m[8] * moz + m[11]
+                ndx = m[0] * mdx + m[1] * mdy + m[2] * mdz
+                ndy = m[3] * mdx + m[4] * mdy + m[5] * mdz
+                ndz = m[6] * mdx + m[7] * mdy + m[8] * mdz
+                mox, moy, moz = nox, noy, noz
+                mdx, mdy, mdz = ndx, ndy, ndz
+            else:
+                row = leaf_i
+                det_sign = None
+                tri_base = leaf_i * block
             for k in range(block):
                 base = k * 9
                 v0x = tris_ref[row, base + 0]
@@ -315,20 +378,23 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
                 e2x = tris_ref[row, base + 6]
                 e2y = tris_ref[row, base + 7]
                 e2z = tris_ref[row, base + 8]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
+                px = mdy * e2z - mdz * e2y
+                py = mdz * e2x - mdx * e2z
+                pz = mdx * e2y - mdy * e2x
                 det = e1x * px + e1y * py + e1z * pz
-                front = det > 0.0
+                if det_sign is not None:
+                    front = det * det_sign > 0.0
+                else:
+                    front = det > 0.0
                 inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
+                tx = mox - v0x
+                ty = moy - v0y
+                tz = moz - v0z
                 u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                v = (mdx * qx + mdy * qy + mdz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 t_lim = jnp.minimum(t_best, tl)
                 hit = (front & (u >= 0.0) & (v >= 0.0)
@@ -383,8 +449,8 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
             hits = (t_best, tri_best, u_best, v_best)
 
             def leaf_mt(cv, hits):
-                row = (-cv).astype(jnp.int32) - 1
-                return mt_block(row, hits)
+                leaf_i = (-cv).astype(jnp.int32) - 1
+                return mt_block(leaf_i, hits)
 
             def maybe_leaf(h, lf, cv, hits):
                 return jax.lax.cond(
@@ -696,32 +762,47 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pair_traverse(pairs, tris, rays, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits"))
+def _pair_traverse(pairs, tris, rays, inst_inv=None, *,
+                   interpret=False, mb_bits=0):
     """pairs: (Ni, 16) f32; tris: (n_leaves, block*9) f32; rays:
-    (G, 1, 12, PACKET) f32.  Returns (G, 1, 4, PACKET) f32."""
+    (G, 1, 12, PACKET) f32; inst_inv: optional (I, 16) instance
+    inverse transforms.  Returns (G, 1, 4, PACKET) f32."""
     n_rows = pairs.shape[0]
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, _, _, packet = rays.shape
+    instanced = inst_inv is not None
 
+    in_specs = [
+        pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [pairs, tris]
+    if instanced:
+        in_specs.append(
+            pl.BlockSpec(inst_inv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(inst_inv)
+    in_specs.append(
+        pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(rays)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
     )
-    kernel = _make_pair_kernel(n_rows, block, packet, TMIN)
+    kernel = _make_pair_kernel(n_rows, block, packet, TMIN,
+                               instanced=instanced, mb_bits=mb_bits)
     need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    if instanced:
+        need += inst_inv.shape[0] * 512
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -730,7 +811,7 @@ def _pair_traverse(pairs, tris, rays, *, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(pairs, tris, rays)
+    )(*args)
 
 
 def pair_fits_vmem(scene, budget_bytes: int = None,
@@ -799,8 +880,10 @@ def pallas_pair_closest_hit(scene, origin, direction, active=None,
         axis=0,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
-    out = _pair_traverse(scene.bvh_pair, scene.tri_blocks, rays,
-                         interpret=interpret)
+    inst = scene.inst_inv if getattr(scene, "instanced", False) else None
+    out = _pair_traverse(scene.bvh_pair, scene.tri_blocks, rays, inst,
+                         interpret=interpret,
+                         mb_bits=getattr(scene, "mb_bits", 0))
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)

@@ -84,9 +84,24 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             pallas_dense_closest_hit,
         )
 
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pair_fits_vmem,
+            pallas_pair_closest_hit,
+        )
+
         on_tpu = jax.default_backend() == "tpu"
         run_pallas = traversal == "pallas" or (
             traversal == "auto" and on_tpu)  # auto off-TPU -> XLA path
+        if run_pallas and _os.environ.get("VKPT_PAIR", "1") == "1" \
+                and pair_fits_vmem(scene):
+            pk = int(_os.environ.get(
+                "VKPT_PAIR_PACKET_SECONDARY"
+                if phase == "secondary" else "VKPT_PAIR_PACKET_PRIMARY",
+                3072 if phase == "secondary" else 4096))
+            return pallas_pair_closest_hit(
+                scene, origin, direction, active,
+                interpret=not on_tpu, seed=seed, packet=pk,
+            )
         if run_pallas and fits_vmem(scene):
             pk_env = ("VKPT_PACKET_SECONDARY" if phase == "secondary"
                       else "VKPT_PACKET_PRIMARY")
