@@ -177,38 +177,39 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             )
 
             # Stack kernels beat the preorder packet kernel on atrium
-            # secondaries (872 ms packet -> 668 pair -> 554 quad; all
-            # checksum-identical) and primaries (88 -> 66 pair):
-            # shared-stack dynamic near-first replaces octant orders
-            # and amortizes the per-visit serial chain over 2/4
-            # sibling boxes with pipelined min-reductions.  Tier:
-            # quad -> pair -> preorder packet.  VKPT_PAIR=0 opts out
-            # of both.
+            # (checksum-identical A/Bs, leaf 14): SECONDARIES 872 ms
+            # packet -> 668 pair -> 554 QUAD pk2048 (1.58x);
+            # PRIMARIES 85.7 packet -> 61.5 PAIR pk4096 (1.39x; quad
+            # 63.4-77.7 — 4 sibling boxes waste work on coherent
+            # packets).  Shared-stack dynamic near-first replaces the
+            # octant orders and amortizes the per-visit serial chain
+            # over sibling boxes with pipelined min-reductions.
+            # Per-phase tier: secondary=quad, primary=pair; VKPT_PAIR=0
+            # opts out, VKPT_KERNEL_{PRIMARY,SECONDARY}=quad|pair|packet
+            # overrides.
             use_stack = (os.environ.get("VKPT_PAIR", "1") == "1"
                          or traversal == "pair")
-            if use_stack and os.environ.get("VKPT_QUAD", "1") == "1" \
-                    and quad_fits_vmem(scene):
-                pk = int(os.environ.get(
-                    "VKPT_QUAD_PACKET_SECONDARY"
-                    if phase == "secondary"
-                    else "VKPT_QUAD_PACKET_PRIMARY", 2048))
+            if phase == "secondary":
+                kern = os.environ.get("VKPT_KERNEL_SECONDARY", "quad")
+                pk_quad = int(os.environ.get(
+                    "VKPT_QUAD_PACKET_SECONDARY", 2048))
+                pk_pair = int(os.environ.get(
+                    "VKPT_PAIR_PACKET_SECONDARY", 3072))
+            else:
+                kern = os.environ.get("VKPT_KERNEL_PRIMARY", "pair")
+                pk_quad = int(os.environ.get(
+                    "VKPT_QUAD_PACKET_PRIMARY", 3072))
+                pk_pair = int(os.environ.get(
+                    "VKPT_PAIR_PACKET_PRIMARY", 4096))
+            if use_stack and kern == "quad" and quad_fits_vmem(scene):
                 return pallas_quad_closest_hit(
                     scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed, packet=pk,
+                    interpret=not on_tpu, seed=seed, packet=pk_quad,
                 )
-            if use_stack and pair_fits_vmem(scene):
-                if phase == "secondary":
-                    # Measured best: 653 ms @ pk3072 (vs 668/687/835
-                    # at 2048/4096/6144) on sorted atrium secondaries.
-                    pk = int(os.environ.get(
-                        "VKPT_PAIR_PACKET_SECONDARY", 3072))
-                else:
-                    # 66 ms @ pk4096 vs 70 @ 2048 on tiled primaries.
-                    pk = int(os.environ.get(
-                        "VKPT_PAIR_PACKET_PRIMARY", 4096))
+            if use_stack and kern != "packet" and pair_fits_vmem(scene):
                 return pallas_pair_closest_hit(
                     scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed, packet=pk,
+                    interpret=not on_tpu, seed=seed, packet=pk_pair,
                 )
             if fits_vmem(scene):
                 if phase == "secondary":
