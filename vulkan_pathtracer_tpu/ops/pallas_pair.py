@@ -95,9 +95,10 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
       [lo0,hi0, lo1,hi1, lo2,hi2, lo3,hi3 (24), enc0..enc3 (4), pad]
 
     enc >= 0: child super-node ROW; enc < 0: leaf block row,
-    -(row+1); empty slots carry enc = NaN-free sentinel -2^30 boxes
-    that never hit (lo=+BIG, hi=-BIG) and enc pointing at leaf row 0
-    (never used: the box misses).
+    -(row+1); empty slots carry NaN boxes — NaN propagates through
+    the slab min/max chain and tn <= tf compares False, so they can
+    NEVER hit (an "inverted" lo>hi box would NOT work: per-axis
+    min/max re-normalizes it into an infinite slab that always hits).
     """
     n = bvh.node_count
     internal = bvh.left_child >= 0
@@ -135,10 +136,8 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
 
     n4 = len(super_ids)
     rows = np.zeros((n4, 32), np.float32)
-    for s_ in range(4):
-        rows[:, s_ * 6:s_ * 6 + 3] = PAIR_BIG    # lo = +BIG: never hits
-        rows[:, s_ * 6 + 3:s_ * 6 + 6] = -PAIR_BIG
-    rows[:, 24:28] = -1.0            # unused enc -> leaf row 0
+    rows[:, 0:24] = np.nan           # empty slots: NaN box never hits
+    rows[:, 24:28] = -1.0            # unused enc -> leaf row 0 (dead)
     for node, kids in children:
         r = super_row[node]
         for s, (kind, cid) in enumerate(kids):
@@ -235,10 +234,9 @@ def build_quad_rows_device(bmin_build, bmax_build, src, enc):
     idx = jnp.maximum(src, 0)
     lo = jnp.take(bmin_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
     hi = jnp.take(bmax_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
-    lo = jnp.where(valid[..., None], lo,
-                   jnp.float32(PAIR_BIG))
-    hi = jnp.where(valid[..., None], hi,
-                   jnp.float32(-PAIR_BIG))
+    nan = jnp.float32(np.nan)
+    lo = jnp.where(valid[..., None], lo, nan)
+    hi = jnp.where(valid[..., None], hi, nan)
     boxes = jnp.concatenate([lo, hi], axis=2).reshape(n4, 24)
     return jnp.concatenate(
         [boxes, enc, jnp.zeros((n4, 4), jnp.float32)], axis=1)
