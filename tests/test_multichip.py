@@ -73,8 +73,9 @@ def test_tiled_render_pallas_kernel_matches(box_dev, monkeypatch):
     TPU mesh must compose with collectives and match the single-chip
     packet-kernel render exactly (round-2 VERDICT: every multi-chip
     test pinned traversal='bvh', so this pairing had zero coverage)."""
-    monkeypatch.setenv("VKPT_PACKET_PRIMARY", "256")
-    monkeypatch.setenv("VKPT_PACKET_SECONDARY", "256")
+    for env in ("VKPT_PACKET", "VKPT_PAIR_PACKET", "VKPT_QUAD_PACKET"):
+        monkeypatch.setenv(env + "_PRIMARY", "256")
+        monkeypatch.setenv(env + "_SECONDARY", "256")
     mesh = make_render_mesh(4)
     dev = replicate_scene(box_dev, mesh)
     cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
@@ -113,8 +114,9 @@ def test_rebalanced_pooled_pallas_kernel(box_dev, monkeypatch):
         trace_wavefront_pooled,
     )
 
-    monkeypatch.setenv("VKPT_PACKET_PRIMARY", "256")
-    monkeypatch.setenv("VKPT_PACKET_SECONDARY", "256")
+    for env in ("VKPT_PACKET", "VKPT_PAIR_PACKET", "VKPT_QUAD_PACKET"):
+        monkeypatch.setenv(env + "_PRIMARY", "256")
+        monkeypatch.setenv(env + "_SECONDARY", "256")
     mesh = make_render_mesh(4)
     dev = replicate_scene(box_dev, mesh)
     cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
