@@ -196,16 +196,28 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     if num_chunks == 1:
         acc, rays = trace_chunk((origin, direction, seed_x, seed_y))
     else:
-        c = n // num_chunks
-        acc, rays = jax.lax.map(
-            trace_chunk,
-            (
-                origin.reshape(num_chunks, c, 3),
-                direction.reshape(num_chunks, c, 3),
-                seed_x.reshape(num_chunks, c),
-                seed_y.reshape(num_chunks, c),
-            ),
+        # A chunked body contains EVERY bounce phase in one lax.map
+        # trace; mixing the pair and quad stack kernels there faulted
+        # the TPU worker (see wavefront.uniform_stack_kernel).  Force
+        # one family — quad, the measured-best full-frame secondary
+        # (and within noise of pair on primaries).  VKPT_CHUNK_KERNEL
+        # overrides (quad|pair|packet|mixed).
+        from vulkan_pathtracer_tpu.render.wavefront import (
+            uniform_stack_kernel,
         )
+
+        c = n // num_chunks
+        with uniform_stack_kernel(
+                os.environ.get("VKPT_CHUNK_KERNEL", "quad")):
+            acc, rays = jax.lax.map(
+                trace_chunk,
+                (
+                    origin.reshape(num_chunks, c, 3),
+                    direction.reshape(num_chunks, c, 3),
+                    seed_x.reshape(num_chunks, c),
+                    seed_y.reshape(num_chunks, c),
+                ),
+            )
         acc = acc.reshape(n, 3)
         rays = jnp.sum(rays)
     if tile_inv is not None:

@@ -63,6 +63,38 @@ ORIGIN_OFFSET = 1e-5        # ray_gen.rgen:86
 ROUGHNESS_FLOOR = 0.006     # ray_gen.rgen:84
 F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 
+# Trace-time override forcing ONE stack-kernel family for every phase.
+# Mixing the pair (primary) and quad (secondary) kernels inside a
+# single chunked lax.map body reproducibly faulted the TPU worker on a
+# 56k-tri scene (pair/pair, quad/quad, and the unchunked mixed program
+# all pass; a bare pair+quad lax.map minrepro also passes, so the fault
+# needs the full bounce loop around the kernels — see ROADMAP round-3
+# findings).  Chunked mixed-phase callers (render_rows) set this via
+# uniform_stack_kernel(); single-phase lax.map bodies (the progressive
+# batch) keep the per-phase tiers.
+_UNIFORM_STACK_KERNEL = None
+
+
+class uniform_stack_kernel:
+    """Context manager: force stack-kernel family ``kind`` ("quad" |
+    "pair" | "packet") for both phases while tracing.  ``None`` or
+    "mixed" leaves the per-phase tiers in effect."""
+
+    def __init__(self, kind):
+        self.kind = None if kind in (None, "", "mixed") else kind
+
+    def __enter__(self):
+        global _UNIFORM_STACK_KERNEL
+        self._prev = _UNIFORM_STACK_KERNEL
+        if self.kind is not None:
+            _UNIFORM_STACK_KERNEL = self.kind
+        return self
+
+    def __exit__(self, *exc):
+        global _UNIFORM_STACK_KERNEL
+        _UNIFORM_STACK_KERNEL = self._prev
+        return False
+
 
 def _closest_hit(scene, origin, direction, active, traversal: str,
                  seed=None, phase: str = "primary"):
@@ -201,6 +233,8 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     "VKPT_QUAD_PACKET_PRIMARY", 3072))
                 pk_pair = int(os.environ.get(
                     "VKPT_PAIR_PACKET_PRIMARY", 4096))
+            if _UNIFORM_STACK_KERNEL is not None:
+                kern = _UNIFORM_STACK_KERNEL
             if use_stack and kern == "quad" and quad_fits_vmem(scene):
                 return pallas_quad_closest_hit(
                     scene, origin, direction, active,
