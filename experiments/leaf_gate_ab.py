@@ -520,6 +520,27 @@ def main():
             ("quad pk4096   ", lambda: pallas_quad_closest_hit(
                 dev, o, d, alive, packet=4096)),
         ]
+    elif which == "oct":
+        # BVH8 collapse: 3 binary levels per visit, 8 pipelined
+        # min-reductions, half the node table of quad.  vs the
+        # production quad tiers on the same sorted rays.
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_oct_closest_hit,
+            pallas_quad_closest_hit,
+        )
+
+        variants = [
+            ("quad pk2048 (prod)", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("oct pk1024    ", lambda: pallas_oct_closest_hit(
+                dev, o, d, alive, packet=1024)),
+            ("oct pk2048    ", lambda: pallas_oct_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("oct pk3072    ", lambda: pallas_oct_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("oct pk4096    ", lambda: pallas_oct_closest_hit(
+                dev, o, d, alive, packet=4096)),
+        ]
     elif which == "kmeans":
         # Union-aware packet FORMATION (run with UNSORTED=1): balanced
         # k-means in the 6d (origin, endpoint) space vs the production

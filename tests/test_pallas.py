@@ -366,3 +366,74 @@ def test_quad_kernel_active_mask(cols_dev):
     got = pallas_quad_closest_hit(cols_dev, o, d, active,
                                   interpret=True, packet=512)
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_oct_kernel_matches(cols_dev):
+    """8-wide stack kernel (BVH8 collapse) vs XLA traversal."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        oct_fits_vmem,
+        pallas_oct_closest_hit,
+    )
+
+    assert oct_fits_vmem(cols_dev)
+    o, d = _rays(1700, seed=51)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    got = pallas_oct_closest_hit(cols_dev, o, d, interpret=True,
+                                 packet=512)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+
+
+def test_oct_kernel_active_mask(cols_dev):
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_oct_closest_hit,
+    )
+
+    o, d = _rays(600, seed=52)
+    rng = np.random.default_rng(3)
+    active = jnp.asarray(rng.random(600) < 0.6)
+    ref = bvh_closest_hit(cols_dev, o, d, active)
+    got = pallas_oct_closest_hit(cols_dev, o, d, active,
+                                 interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_sort_networks_sort():
+    """The comparator networks used for near-first slot ordering in
+    the quad/oct kernels actually sort (a wrong network would be a
+    silent perf bug: traversal stays exact but pushes far-first)."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import _SORT_NETS
+
+    rng = np.random.default_rng(0)
+    for width, net in _SORT_NETS.items():
+        for _ in range(200):
+            keys = rng.random(width)
+            vals = np.arange(width)
+            k, v = keys.copy(), vals.copy()
+            for a, b in net:
+                if k[a] > k[b]:
+                    k[a], k[b] = k[b], k[a]
+                    v[a], v[b] = v[b], v[a]
+            assert (np.diff(k) >= 0).all()
+            np.testing.assert_array_equal(k, np.sort(keys))
+
+
+def test_oct_rows_structure(cols_dev):
+    """BVH8 collapse invariants: row width 64, node table at most the
+    quad table's size, every enc slot either links a valid row or a
+    valid leaf block, and empty slots carry NaN boxes."""
+    oct_rows = np.asarray(cols_dev.bvh_oct)
+    quad_rows = np.asarray(cols_dev.bvh_quad)
+    n_leaves = cols_dev.tri_blocks.shape[0]
+    assert oct_rows.shape[1] == 64
+    assert oct_rows.shape[0] <= quad_rows.shape[0]
+    encs = oct_rows[:, 48:56]
+    boxes = oct_rows[:, :48].reshape(-1, 8, 6)
+    internal = encs >= 0
+    assert (encs[internal] < oct_rows.shape[0]).all()
+    leaf_rows = (-encs[~internal]) - 1
+    assert (leaf_rows >= 0).all() and (leaf_rows < n_leaves).all()
+    # A NaN box must carry a dead enc (leaf row 0 encoding -1.0).
+    empty = np.isnan(boxes).any(axis=2)
+    assert (encs[empty] == -1.0).all()

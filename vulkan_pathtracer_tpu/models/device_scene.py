@@ -129,6 +129,9 @@ class DeviceScene:
     bvh_quad: Optional[jnp.ndarray] = None     # (N4, 32) f32 4-wide
     bvh_quad_src: Optional[jnp.ndarray] = None  # (N4, 4) int32 refit map
     bvh_quad_enc: Optional[jnp.ndarray] = None  # (N4, 4) f32 slot links
+    bvh_oct: Optional[jnp.ndarray] = None      # (N8, 64) f32 8-wide
+    bvh_oct_src: Optional[jnp.ndarray] = None  # (N8, 8) int32 refit map
+    bvh_oct_enc: Optional[jnp.ndarray] = None  # (N8, 8) f32 slot links
     # Dense node rows for the run-kernel (ops/pallas_traverse.py):
     # 16 preorder nodes per 128-lane row (node n of octant o lives at
     # row o*R + n//16, lanes (n%16)*8 .. +7 = bmin,bmax,skip,leaf as
@@ -174,7 +177,8 @@ class DeviceScene:
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks",
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_pair",
-        "bvh_quad", "bvh_quad_src", "bvh_quad_enc", "bvh_rows",
+        "bvh_quad", "bvh_quad_src", "bvh_quad_enc",
+        "bvh_oct", "bvh_oct_src", "bvh_oct_enc", "bvh_rows",
         "inst_inv", "inst_nrm", "asm_inst", "asm_src",
         "mesh_obj_bmin", "mesh_obj_bmax", "inst_root_obj",
         "top_left", "top_right", "top_leaf_inst", "top_asm_pos",
@@ -633,8 +637,10 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             dev.bvh_wide_nodes = jnp.asarray(wbvh.nodes)
         if bvh.node_count > 1:
             from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                build_oct_rows,
                 build_pair_rows,
                 build_quad_rows,
+                oct_static_maps,
                 quad_static_maps,
             )
 
@@ -645,4 +651,9 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             qsrc, qenc = quad_static_maps(bvh, max_leaf_size)
             dev.bvh_quad_src = jnp.asarray(qsrc)
             dev.bvh_quad_enc = jnp.asarray(qenc)
+            dev.bvh_oct = jnp.asarray(
+                build_oct_rows(bvh, max_leaf_size))
+            osrc, oenc = oct_static_maps(bvh, max_leaf_size)
+            dev.bvh_oct_src = jnp.asarray(osrc)
+            dev.bvh_oct_enc = jnp.asarray(oenc)
     return dev

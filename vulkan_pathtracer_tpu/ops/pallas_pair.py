@@ -87,44 +87,38 @@ def build_pair_rows(bvh, block: int) -> np.ndarray:
     return rows
 
 
-def build_quad_rows(bvh, block: int) -> np.ndarray:
-    """(N4, 32) f32 rows for a 4-ary collapse of the binary tree:
-    each super-node's slots are its grandchildren (a leaf child fills
-    one slot directly).  Layout per row:
+def _nary_collapse(bvh, width: int):
+    """Walk the binary tree collapsing log2(width) levels per
+    super-node: each super's slots are the descendants ``levels``
+    levels down (an early leaf terminates its branch and fills one
+    slot directly).  Returns (super_row: node id -> row,
+    children: list of (node, [(kind, id), ...]) in row order).
 
-      [lo0,hi0, lo1,hi1, lo2,hi2, lo3,hi3 (24), enc0..enc3 (4), pad]
-
-    enc >= 0: child super-node ROW; enc < 0: leaf block row,
-    -(row+1); empty slots carry NaN boxes — NaN propagates through
-    the slab min/max chain and tn <= tf compares False, so they can
-    NEVER hit (an "inverted" lo>hi box would NOT work: per-axis
-    min/max re-normalizes it into an infinite slab that always hits).
-    """
-    n = bvh.node_count
+    The walk (DFS, slots expanded left-to-right, internal slots
+    pushed in slot order) fixes row numbering: root = row 0."""
     internal = bvh.left_child >= 0
     if not internal[0]:
-        raise ValueError("quad rows need an internal root")
+        raise ValueError("n-ary rows need an internal root")
+    levels = width.bit_length() - 1  # 4 -> 2, 8 -> 3
 
-    # Enumerate super-nodes: root + internal grandchildren reachable
-    # through the collapse.
-    super_ids = []
     super_row = {}
-    children = []  # per super: list of (kind, id) kind in {leaf, super}
+    children = []
     stack = [0]
     while stack:
         node = stack.pop()
         if node in super_row:
             continue
-        super_row[node] = len(super_ids)
-        super_ids.append(node)
-        slots = []
-        for ch in (int(bvh.left_child[node]), int(bvh.right_child[node])):
-            if internal[ch]:
-                for gc in (int(bvh.left_child[ch]),
-                           int(bvh.right_child[ch])):
-                    slots.append(gc)
-            else:
-                slots.append(ch)
+        super_row[node] = len(children)
+        slots = [int(bvh.left_child[node]), int(bvh.right_child[node])]
+        for _ in range(levels - 1):
+            nxt = []
+            for s in slots:
+                if internal[s]:
+                    nxt.append(int(bvh.left_child[s]))
+                    nxt.append(int(bvh.right_child[s]))
+                else:
+                    nxt.append(s)
+            slots = nxt
         kids = []
         for s in slots:
             if internal[s]:
@@ -133,22 +127,52 @@ def build_quad_rows(bvh, block: int) -> np.ndarray:
             else:
                 kids.append(("leaf", s))
         children.append((node, kids))
+    return super_row, children
 
-    n4 = len(super_ids)
-    rows = np.zeros((n4, 32), np.float32)
-    rows[:, 0:24] = np.nan           # empty slots: NaN box never hits
-    rows[:, 24:28] = -1.0            # unused enc -> leaf row 0 (dead)
+
+def _build_nary_rows(bvh, block: int, width: int) -> np.ndarray:
+    """(Nw, 8*width) f32 rows for a width-ary collapse of the binary
+    tree.  Layout per row (w = width):
+
+      [lo0,hi0 .. lo{w-1},hi{w-1} (6w), enc0..enc{w-1} (w), pad (w)]
+
+    enc >= 0: child super-node ROW; enc < 0: leaf block row,
+    -(row+1); empty slots carry NaN boxes — NaN propagates through
+    the slab min/max chain and tn <= tf compares False, so they can
+    NEVER hit (an "inverted" lo>hi box would NOT work: per-axis
+    min/max re-normalizes it into an infinite slab that always hits).
+    """
+    super_row, children = _nary_collapse(bvh, width)
+    nw = len(children)
+    rows = np.zeros((nw, 8 * width), np.float32)
+    rows[:, 0:6 * width] = np.nan    # empty slots: NaN box never hits
+    rows[:, 6 * width:7 * width] = -1.0  # unused enc -> dead leaf row 0
     for node, kids in children:
         r = super_row[node]
         for s, (kind, cid) in enumerate(kids):
             rows[r, s * 6:s * 6 + 3] = bvh.bmin[cid]
             rows[r, s * 6 + 3:s * 6 + 6] = bvh.bmax[cid]
             if kind == "super":
-                rows[r, 24 + s] = float(super_row[cid])
+                rows[r, 6 * width + s] = float(super_row[cid])
             else:
-                rows[r, 24 + s] = -float(
+                rows[r, 6 * width + s] = -float(
                     bvh.leaf_first[cid] // block + 1)
     return rows
+
+
+def build_quad_rows(bvh, block: int) -> np.ndarray:
+    """(N4, 32) f32 rows: 4-ary collapse (see _build_nary_rows)."""
+    return _build_nary_rows(bvh, block, 4)
+
+
+def build_oct_rows(bvh, block: int) -> np.ndarray:
+    """(N8, 64) f32 rows: 8-ary collapse (see _build_nary_rows).
+    Three binary levels fold into one visit — the node table shrinks
+    ~2x vs quad and visits drop further, while the extra sibling slab
+    tests ride the already-paid per-visit serial chain (the 8
+    cross-lane min-reductions pipeline; mosaic_costs: 8 independent
+    sums ~108 cyc vs ~100 for one)."""
+    return _build_nary_rows(bvh, block, 8)
 
 
 def build_pair_rows_preorder(bmin, bmax, skip_local, leaf_first
@@ -186,60 +210,56 @@ def build_pair_rows_preorder(bmin, bmax, skip_local, leaf_first
     return rows
 
 
-def quad_static_maps(bvh, block: int):
-    """Static (src, enc) maps for device-side quad-row regeneration
-    after refit: src (N4, 4) int32 build-order node ids per slot (-1
-    = empty), enc (N4, 4) f32 slot links (same encoding as
-    build_quad_rows).  The 4-ary collapse topology is box-independent,
-    so refit only re-gathers boxes through src."""
-    rows = build_quad_rows(bvh, block)
-    # Recover src by re-walking (same traversal as build_quad_rows).
-    internal = bvh.left_child >= 0
-    super_ids = []
-    super_row = {}
-    slots_of = []
-    stack = [0]
-    while stack:
-        node = stack.pop()
-        if node in super_row:
-            continue
-        super_row[node] = len(super_ids)
-        super_ids.append(node)
-        slots = []
-        for ch in (int(bvh.left_child[node]), int(bvh.right_child[node])):
-            if internal[ch]:
-                slots.append(int(bvh.left_child[ch]))
-                slots.append(int(bvh.right_child[ch]))
-                for gc in (int(bvh.left_child[ch]),
-                           int(bvh.right_child[ch])):
-                    if internal[gc]:
-                        stack.append(gc)
-            else:
-                slots.append(ch)
-        slots_of.append(slots)
-    n4 = len(super_ids)
-    src = np.full((n4, 4), -1, np.int32)
-    for r, slots in enumerate(slots_of):
-        for s, cid in enumerate(slots):
+def _nary_static_maps(bvh, block: int, width: int):
+    """Static (src, enc) maps for device-side n-ary-row regeneration
+    after refit: src (Nw, w) int32 build-order node ids per slot (-1
+    = empty), enc (Nw, w) f32 slot links (same encoding as
+    _build_nary_rows).  The collapse topology is box-independent, so
+    refit only re-gathers boxes through src."""
+    rows = _build_nary_rows(bvh, block, width)
+    super_row, children = _nary_collapse(bvh, width)
+    nw = len(children)
+    src = np.full((nw, width), -1, np.int32)
+    for node, kids in children:
+        r = super_row[node]
+        for s, (_, cid) in enumerate(kids):
             src[r, s] = cid
-    enc = rows[:, 24:28].copy()
+    enc = rows[:, 6 * width:7 * width].copy()
     return src, enc
 
 
-def build_quad_rows_device(bmin_build, bmax_build, src, enc):
-    """Regenerate (N4, 32) quad rows from refitted BUILD-order boxes
-    through the static (src, enc) maps."""
-    n4 = src.shape[0]
+def quad_static_maps(bvh, block: int):
+    return _nary_static_maps(bvh, block, 4)
+
+
+def oct_static_maps(bvh, block: int):
+    return _nary_static_maps(bvh, block, 8)
+
+
+def _build_nary_rows_device(bmin_build, bmax_build, src, enc):
+    """Regenerate (Nw, 8w) n-ary rows from refitted BUILD-order boxes
+    through the static (src, enc) maps (width inferred from src)."""
+    nw, width = src.shape
     valid = src >= 0
     idx = jnp.maximum(src, 0)
-    lo = jnp.take(bmin_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
-    hi = jnp.take(bmax_build, idx.reshape(-1), axis=0).reshape(n4, 4, 3)
+    lo = jnp.take(bmin_build, idx.reshape(-1), axis=0).reshape(
+        nw, width, 3)
+    hi = jnp.take(bmax_build, idx.reshape(-1), axis=0).reshape(
+        nw, width, 3)
     nan = jnp.float32(np.nan)
     lo = jnp.where(valid[..., None], lo, nan)
     hi = jnp.where(valid[..., None], hi, nan)
-    boxes = jnp.concatenate([lo, hi], axis=2).reshape(n4, 24)
+    boxes = jnp.concatenate([lo, hi], axis=2).reshape(nw, 6 * width)
     return jnp.concatenate(
-        [boxes, enc, jnp.zeros((n4, 4), jnp.float32)], axis=1)
+        [boxes, enc, jnp.zeros((nw, width), jnp.float32)], axis=1)
+
+
+def build_quad_rows_device(bmin_build, bmax_build, src, enc):
+    return _build_nary_rows_device(bmin_build, bmax_build, src, enc)
+
+
+def build_oct_rows_device(bmin_build, bmax_build, src, enc):
+    return _build_nary_rows_device(bmin_build, bmax_build, src, enc)
 
 
 def quad_fits_vmem(scene, budget_bytes: int = None,
@@ -506,8 +526,24 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
     return kernel
 
 
-def _make_quad_kernel(n_rows: int, block: int, packet: int,
-                      tmin: float):
+# Sorting networks on the (scalar) per-slot packet-min keys: width 4
+# is the 5-comparator optimum, width 8 is Batcher's odd-even merge
+# sort (19 comparators).  Correctness note: a WRONG network would
+# only cost perf (far-first pushes), never results — every live slot
+# is still pushed and t_lim prunes — but these are exact (unit test).
+_SORT_NETS = {
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)],
+}
+
+
+def _make_nary_kernel(n_rows: int, block: int, packet: int,
+                      tmin: float, width: int):
     sub = packet // _LANE
 
     def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref):
@@ -576,7 +612,7 @@ def _make_quad_kernel(n_rows: int, block: int, packet: int,
 
         def body(state):
             cur, sp, t_best, tri_best, u_best, v_best = state
-            f = [quads_ref[cur, i] for i in range(28)]
+            f = [quads_ref[cur, i] for i in range(7 * width)]
             t_lim = jnp.minimum(t_best, tl)
 
             def entry(s):
@@ -599,16 +635,16 @@ def _make_quad_kernel(n_rows: int, block: int, packet: int,
                 )
                 return jnp.where(tn <= tf, tn, big)
 
-            es = [entry(s) for s in range(4)]
-            # Four independent cross-lane mins — they pipeline.
+            es = [entry(s) for s in range(width)]
+            # Independent cross-lane mins — they pipeline.
             ms = [jnp.min(e) for e in es]
-            encs = [f[24 + s] for s in range(4)]
+            encs = [f[6 * width + s] for s in range(width)]
             hits = [m < big for m in ms]
             leafs = [c < 0.0 for c in encs]
 
             # Leaf slots: MT immediately (fixed slot order).
             hb = (t_best, tri_best, u_best, v_best)
-            for s in range(4):
+            for s in range(width):
                 hb = jax.lax.cond(
                     jnp.logical_and(hits[s], leafs[s]),
                     functools.partial(
@@ -622,7 +658,7 @@ def _make_quad_kernel(n_rows: int, block: int, packet: int,
             # Internal slots: sort (near first) and push far-to-near.
             keys = [jnp.where(
                 jnp.logical_and(hits[s], jnp.logical_not(leafs[s])),
-                ms[s], big) for s in range(4)]
+                ms[s], big) for s in range(width)]
             ks = list(keys)
             cs = [c.astype(jnp.int32) for c in encs]
 
@@ -634,29 +670,22 @@ def _make_quad_kernel(n_rows: int, block: int, packet: int,
                 cb = jnp.where(lt, cs[b], cs[a])
                 ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
 
-            cswap(0, 1)
-            cswap(2, 3)
-            cswap(0, 2)
-            cswap(1, 3)
-            cswap(1, 2)
+            for a, b in _SORT_NETS[width]:
+                cswap(a, b)
 
             live = [k < big for k in ks]
-            p3 = sp
-            p2 = p3 + live[3].astype(jnp.int32)
-            p1 = p2 + live[2].astype(jnp.int32)
-            sp_pushed = p1 + live[1].astype(jnp.int32)
+            # Push far-to-near: slot width-1 (farthest) at the bottom.
+            pos = [None] * width
+            p = sp
+            for s in range(width - 1, 0, -1):
+                pos[s] = p
+                p = p + live[s].astype(jnp.int32)
+            sp_pushed = p
 
-            @pl.when(live[3])
-            def _():
-                stack_ref[p3] = cs[3]
-
-            @pl.when(live[2])
-            def _():
-                stack_ref[p2] = cs[2]
-
-            @pl.when(live[1])
-            def _():
-                stack_ref[p1] = cs[1]
+            for s in range(width - 1, 0, -1):
+                @pl.when(live[s])
+                def _(s=s):
+                    stack_ref[pos[s]] = cs[s]
 
             desc = live[0]
             popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
@@ -680,10 +709,12 @@ def _make_quad_kernel(n_rows: int, block: int, packet: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _quad_traverse(quads, tris, rays, *, interpret=False):
-    """quads: (N4, 32) f32; tris: (n_leaves, block*9); rays:
-    (G, 1, 12, PACKET).  Returns (G, 1, 4, PACKET)."""
-    n_rows = quads.shape[0]
+def _nary_traverse(nodes, tris, rays, *, interpret=False):
+    """nodes: (Nw, 8*width) f32 (width inferred from the row width);
+    tris: (n_leaves, block*9); rays: (G, 1, 12, PACKET).  Returns
+    (G, 1, 4, PACKET)."""
+    n_rows, node_w = nodes.shape
+    width = node_w // 8
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, _, _, packet = rays.shape
@@ -692,7 +723,7 @@ def _quad_traverse(quads, tris, rays, *, interpret=False):
         num_scalar_prefetch=0,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((n_rows, 32), lambda i: (0, 0),
+            pl.BlockSpec((n_rows, node_w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -701,9 +732,10 @@ def _quad_traverse(quads, tris, rays, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((3 * STACK_CAP,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)],
     )
-    kernel = _make_quad_kernel(n_rows, block, packet, TMIN)
+    kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width)
     need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
@@ -713,7 +745,7 @@ def _quad_traverse(quads, tris, rays, *, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(quads, tris, rays)
+    )(nodes, tris, rays)
 
 
 def pallas_quad_closest_hit(scene, origin, direction, active=None,
@@ -752,7 +784,73 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
         axis=0,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
-    out = _quad_traverse(scene.bvh_quad, scene.tri_blocks, rays,
+    out = _nary_traverse(scene.bvh_quad, scene.tri_blocks, rays,
+                         interpret=interpret)
+    out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
+    t = out[0]
+    tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+    return Hit(t=t, tri=tri, u=out[2], v=out[3])
+
+
+def oct_fits_vmem(scene, budget_bytes: int = None,
+                  packet: int = None) -> bool:
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
+    if getattr(scene, "bvh_oct", None) is None or \
+            scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    if packet is None:
+        packet = 4096
+    state = 8 * packet * 4 * 4 * 2
+    need = (scene.bvh_oct.shape[0] * 512
+            + scene.tri_blocks.shape[0] * 512 + state)
+    return need < budget_bytes
+
+
+def pallas_oct_closest_hit(scene, origin, direction, active=None,
+                           interpret=False, seed=None,
+                           packet: int = None) -> Hit:
+    """Closest hit via the 8-wide stack kernel (bvh_oct): a BVH8
+    collapse — three binary levels per visit, 8 pipelined cross-lane
+    min-reductions, ~half the node table of the quad collapse."""
+    from vulkan_pathtracer_tpu.ops.pallas_traverse import _seed_channels
+
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_OCT_PACKET", "2048"))
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    st, strif, su, sv = _seed_channels(n, seed)
+    miss_bits = float(
+        np.frombuffer(np.int32(-1).tobytes(), dtype=np.float32)[0])
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(st, float(MISS_T)),
+            pad1(strif, miss_bits),
+            pad1(su), pad1(sv),
+            jnp.zeros((total,), jnp.float32),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    out = _nary_traverse(scene.bvh_oct, scene.tri_blocks, rays,
                          interpret=interpret)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]

@@ -76,9 +76,9 @@ _UNIFORM_STACK_KERNEL = None
 
 
 class uniform_stack_kernel:
-    """Context manager: force stack-kernel family ``kind`` ("quad" |
-    "pair" | "packet") for both phases while tracing.  ``None`` or
-    "mixed" leaves the per-phase tiers in effect."""
+    """Context manager: force stack-kernel family ``kind`` ("oct" |
+    "quad" | "pair" | "packet") for both phases while tracing.
+    ``None`` or "mixed" leaves the per-phase tiers in effect."""
 
     def __init__(self, kind):
         self.kind = None if kind in (None, "", "mixed") else kind
@@ -202,7 +202,9 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
             import os
 
             from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                oct_fits_vmem,
                 pair_fits_vmem,
+                pallas_oct_closest_hit,
                 pallas_pair_closest_hit,
                 pallas_quad_closest_hit,
                 quad_fits_vmem,
@@ -227,14 +229,23 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     "VKPT_QUAD_PACKET_SECONDARY", 2048))
                 pk_pair = int(os.environ.get(
                     "VKPT_PAIR_PACKET_SECONDARY", 3072))
+                pk_oct = int(os.environ.get(
+                    "VKPT_OCT_PACKET_SECONDARY", 2048))
             else:
                 kern = os.environ.get("VKPT_KERNEL_PRIMARY", "pair")
                 pk_quad = int(os.environ.get(
                     "VKPT_QUAD_PACKET_PRIMARY", 3072))
                 pk_pair = int(os.environ.get(
                     "VKPT_PAIR_PACKET_PRIMARY", 4096))
+                pk_oct = int(os.environ.get(
+                    "VKPT_OCT_PACKET_PRIMARY", 2048))
             if _UNIFORM_STACK_KERNEL is not None:
                 kern = _UNIFORM_STACK_KERNEL
+            if use_stack and kern == "oct" and oct_fits_vmem(scene):
+                return pallas_oct_closest_hit(
+                    scene, origin, direction, active,
+                    interpret=not on_tpu, seed=seed, packet=pk_oct,
+                )
             if use_stack and kern == "quad" and quad_fits_vmem(scene):
                 return pallas_quad_closest_hit(
                     scene, origin, direction, active,
