@@ -28,15 +28,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def tier_of(dev):
-    from vulkan_pathtracer_tpu.ops.pallas_pair import pair_fits_vmem
+    """Mirror of wavefront._closest_hit's secondary auto dispatch
+    (quad -> oct -> pair -> packet -> dense -> dense+hbm -> xla)."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        oct_fits_vmem,
+        pair_fits_vmem,
+        quad_fits_vmem,
+    )
     from vulkan_pathtracer_tpu.ops.pallas_traverse import (
         dense_fits_vmem,
         dense_hbm_fits,
         fits_vmem,
     )
 
-    if os.environ.get("VKPT_PAIR", "1") == "1" and pair_fits_vmem(dev):
-        return "pair"
+    if os.environ.get("VKPT_PAIR", "1") == "1":
+        if quad_fits_vmem(dev):
+            return "quad"
+        if oct_fits_vmem(dev):
+            return "oct"
+        if pair_fits_vmem(dev):
+            return "pair"
     if fits_vmem(dev):
         return "packet"
     if dense_fits_vmem(dev):

@@ -241,21 +241,33 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     "VKPT_OCT_PACKET_PRIMARY", 2048))
             if _UNIFORM_STACK_KERNEL is not None:
                 kern = _UNIFORM_STACK_KERNEL
-            if use_stack and kern == "oct" and oct_fits_vmem(scene):
-                return pallas_oct_closest_hit(
-                    scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed, packet=pk_oct,
-                )
-            if use_stack and kern == "quad" and quad_fits_vmem(scene):
-                return pallas_quad_closest_hit(
-                    scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed, packet=pk_quad,
-                )
-            if use_stack and kern != "packet" and pair_fits_vmem(scene):
-                return pallas_pair_closest_hit(
-                    scene, origin, direction, active,
-                    interpret=not on_tpu, seed=seed, packet=pk_pair,
-                )
+            # VMEM-overflow fallback rides DOWN the table sizes: node
+            # tables shrink pair (Ni rows) -> quad (~Ni/2) -> oct
+            # (~Ni/4), all 512B/row, so past the quad ceiling only oct
+            # still fits (oct measured 1.04x of quad on secondaries —
+            # a free extension of the stack-kernel scene range).
+            if phase == "secondary":
+                tiers = ["quad", "oct", "pair"]
+            else:
+                tiers = ["pair", "quad", "oct"]
+            if kern in ("oct", "quad", "pair"):
+                tiers = [kern] + [k for k in tiers if k != kern]
+            if use_stack and kern != "packet":
+                calls = {
+                    "oct": (oct_fits_vmem, pallas_oct_closest_hit,
+                            pk_oct),
+                    "quad": (quad_fits_vmem, pallas_quad_closest_hit,
+                             pk_quad),
+                    "pair": (pair_fits_vmem, pallas_pair_closest_hit,
+                             pk_pair),
+                }
+                for k in tiers:
+                    fits, call, pk = calls[k]
+                    if fits(scene):
+                        return call(
+                            scene, origin, direction, active,
+                            interpret=not on_tpu, seed=seed, packet=pk,
+                        )
             if fits_vmem(scene):
                 if phase == "secondary":
                     # 6d endpoint-pair sort key (L=0.5*diag) + leaf-14
