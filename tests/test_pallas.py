@@ -437,3 +437,42 @@ def test_oct_rows_structure(cols_dev):
     # A NaN box must carry a dead enc (leaf row 0 encoding -1.0).
     empty = np.isnan(boxes).any(axis=2)
     assert (encs[empty] == -1.0).all()
+
+def test_quad_hbm_leaves_matches(cols_dev):
+    """HBM-streamed leaf rows for the quad stack kernel (DMA per
+    hit-leaf slot into a width-slot scratch) must be bit-identical to
+    the VMEM-resident quad kernel — same MT, only the fetch path
+    changes."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_closest_hit,
+        quad_hbm_fits,
+    )
+
+    assert quad_hbm_fits(cols_dev)
+    o, d = _rays(1100, seed=61)
+    ref = pallas_quad_closest_hit(cols_dev, o, d, interpret=True,
+                                  packet=512, hbm_leaves=False)
+    got = pallas_quad_closest_hit(cols_dev, o, d, interpret=True,
+                                  packet=512, hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+
+
+def test_oct_hbm_leaves_matches(cols_dev):
+    """Same for the 8-wide oct kernel (8-slot scratch)."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        oct_hbm_fits,
+        pallas_oct_closest_hit,
+    )
+
+    assert oct_hbm_fits(cols_dev)
+    o, d = _rays(900, seed=62)
+    ref = pallas_oct_closest_hit(cols_dev, o, d, interpret=True,
+                                 packet=512, hbm_leaves=False)
+    got = pallas_oct_closest_hit(cols_dev, o, d, interpret=True,
+                                 packet=512, hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  np.asarray(ref.tri))

@@ -281,6 +281,37 @@ def quad_fits_vmem(scene, budget_bytes: int = None,
     return need < budget_bytes
 
 
+def _nary_hbm_fits(scene, table_attr: str, budget_bytes=None,
+                   packet: int = None) -> bool:
+    """VMEM gate for the HBM-streamed-leaf variant: only the node
+    table (+ray state and the width-slot leaf scratch) must be
+    resident — the leaf table streams from HBM per visited row."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get(
+            "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
+    table = getattr(scene, table_attr, None)
+    if table is None or scene.tri_blocks is None:
+        return False
+    if scene.tri_blocks.shape[1] > _LANE:
+        return False
+    if packet is None:
+        packet = 4096
+    state = 8 * packet * 4 * 4 * 2
+    width = table.shape[1] // 8
+    need = table.shape[0] * 512 + width * 512 + state
+    return need < budget_bytes
+
+
+def quad_hbm_fits(scene, budget_bytes=None, packet: int = None) -> bool:
+    return _nary_hbm_fits(scene, "bvh_quad", budget_bytes, packet)
+
+
+def oct_hbm_fits(scene, budget_bytes=None, packet: int = None) -> bool:
+    return _nary_hbm_fits(scene, "bvh_oct", budget_bytes, packet)
+
+
 def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
                            block: int):
     """jnp version of build_pair_rows over BUILD-order arrays —
@@ -543,10 +574,15 @@ _SORT_NETS = {
 
 
 def _make_nary_kernel(n_rows: int, block: int, packet: int,
-                      tmin: float, width: int):
+                      tmin: float, width: int,
+                      hbm_leaves: bool = False):
     sub = packet // _LANE
 
-    def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref):
+    def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
+               *rest):
+        leaf_scratch = leaf_sems = None
+        if hbm_leaves:
+            leaf_scratch, leaf_sems = rest
         comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
                  for i in range(12)]
         eps = jnp.float32(1e-20)
@@ -568,20 +604,32 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
         v0 = comps[10]
         big = jnp.float32(PAIR_BIG)
 
-        def mt_block(row, args):
+        def mt_block(row, args, slot=0):
             t_best, tri_best, u_best, v_best = args
             tri_base = row * block
+            if hbm_leaves:
+                # The slot's row DMA was issued when the leaf hit was
+                # detected; wait here (MT of earlier slots overlaps
+                # the copies of later ones).
+                pltpu.make_async_copy(
+                    tris_ref.at[row],
+                    leaf_scratch.at[slot],
+                    leaf_sems.at[slot],
+                ).wait()
+                tread = lambda base: leaf_scratch[slot, base]
+            else:
+                tread = lambda base: tris_ref[row, base]
             for k in range(block):
                 base = k * 9
-                v0x = tris_ref[row, base + 0]
-                v0y = tris_ref[row, base + 1]
-                v0z = tris_ref[row, base + 2]
-                e1x = tris_ref[row, base + 3]
-                e1y = tris_ref[row, base + 4]
-                e1z = tris_ref[row, base + 5]
-                e2x = tris_ref[row, base + 6]
-                e2y = tris_ref[row, base + 7]
-                e2z = tris_ref[row, base + 8]
+                v0x = tread(base + 0)
+                v0y = tread(base + 1)
+                v0z = tread(base + 2)
+                e1x = tread(base + 3)
+                e1y = tread(base + 4)
+                e1z = tread(base + 5)
+                e2x = tread(base + 6)
+                e2y = tread(base + 7)
+                e2z = tread(base + 8)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -643,13 +691,28 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
             leafs = [c < 0.0 for c in encs]
 
             # Leaf slots: MT immediately (fixed slot order).
+            if hbm_leaves:
+                # Issue every hit-leaf slot's row DMA up front so the
+                # MT of slot s overlaps the copies of slots s+1.. (the
+                # leaf table lives in HBM; only visited rows land in
+                # the width-slot VMEM scratch).
+                for s in range(width):
+                    @pl.when(jnp.logical_and(hits[s], leafs[s]))
+                    def _(s=s):
+                        row = (-encs[s]).astype(jnp.int32) - 1
+                        pltpu.make_async_copy(
+                            tris_ref.at[row],
+                            leaf_scratch.at[s],
+                            leaf_sems.at[s],
+                        ).start()
             hb = (t_best, tri_best, u_best, v_best)
             for s in range(width):
                 hb = jax.lax.cond(
                     jnp.logical_and(hits[s], leafs[s]),
                     functools.partial(
-                        lambda cv, a: mt_block(
-                            (-cv).astype(jnp.int32) - 1, a), encs[s]),
+                        lambda cv, a, s=s: mt_block(
+                            (-cv).astype(jnp.int32) - 1, a, slot=s),
+                        encs[s]),
                     lambda a: a,
                     hb,
                 )
@@ -708,35 +771,50 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _nary_traverse(nodes, tris, rays, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
+def _nary_traverse(nodes, tris, rays, *, interpret=False,
+                   hbm_leaves=False):
     """nodes: (Nw, 8*width) f32 (width inferred from the row width);
     tris: (n_leaves, block*9); rays: (G, 1, 12, PACKET).  Returns
-    (G, 1, 4, PACKET)."""
+    (G, 1, 4, PACKET).  ``hbm_leaves``: keep the leaf table in HBM
+    and DMA visited rows into a width-slot VMEM scratch — lifts the
+    stack-kernel scene ceiling past the VMEM leaf-table limit."""
     n_rows, node_w = nodes.shape
     width = node_w // 8
     n_leaves, row_w = tris.shape
     block = row_w // 9
     g, _, _, packet = rays.shape
 
+    if hbm_leaves:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
+    if hbm_leaves:
+        scratch_shapes += [
+            pltpu.VMEM((width, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((width,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((n_rows, node_w), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tri_spec,
             pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)],
+        scratch_shapes=scratch_shapes,
     )
-    kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width)
-    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width,
+                               hbm_leaves=hbm_leaves)
+    leaf_resident = 0 if hbm_leaves else n_leaves * 512
+    need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -750,7 +828,8 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False):
 
 def pallas_quad_closest_hit(scene, origin, direction, active=None,
                             interpret=False, seed=None,
-                            packet: int = None) -> Hit:
+                            packet: int = None,
+                            hbm_leaves: bool = False) -> Hit:
     """Closest hit via the 4-wide pair-stack kernel (bvh_quad)."""
     from vulkan_pathtracer_tpu.ops.pallas_traverse import _seed_channels
 
@@ -785,7 +864,7 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     out = _nary_traverse(scene.bvh_quad, scene.tri_blocks, rays,
-                         interpret=interpret)
+                         interpret=interpret, hbm_leaves=hbm_leaves)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -814,7 +893,8 @@ def oct_fits_vmem(scene, budget_bytes: int = None,
 
 def pallas_oct_closest_hit(scene, origin, direction, active=None,
                            interpret=False, seed=None,
-                           packet: int = None) -> Hit:
+                           packet: int = None,
+                           hbm_leaves: bool = False) -> Hit:
     """Closest hit via the 8-wide stack kernel (bvh_oct): a BVH8
     collapse — three binary levels per visit, 8 pipelined cross-lane
     min-reductions, ~half the node table of the quad collapse."""
@@ -851,7 +931,7 @@ def pallas_oct_closest_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     out = _nary_traverse(scene.bvh_oct, scene.tri_blocks, rays,
-                         interpret=interpret)
+                         interpret=interpret, hbm_leaves=hbm_leaves)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)

@@ -268,6 +268,27 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                             scene, origin, direction, active,
                             interpret=not on_tpu, seed=seed, packet=pk,
                         )
+                # Past every in-VMEM stack-kernel ceiling: stream the
+                # leaf table from HBM (per-visited-row DMA into a
+                # width-slot scratch) while the quad/oct node table —
+                # an order of magnitude smaller — stays resident.
+                from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                    oct_hbm_fits,
+                    quad_hbm_fits,
+                )
+
+                for k, fits, call, pk in (
+                    ("quad", quad_hbm_fits, pallas_quad_closest_hit,
+                     pk_quad),
+                    ("oct", oct_hbm_fits, pallas_oct_closest_hit,
+                     pk_oct),
+                ):
+                    if fits(scene):
+                        return call(
+                            scene, origin, direction, active,
+                            interpret=not on_tpu, seed=seed, packet=pk,
+                            hbm_leaves=True,
+                        )
             if fits_vmem(scene):
                 if phase == "secondary":
                     # 6d endpoint-pair sort key (L=0.5*diag) + leaf-14
