@@ -67,9 +67,13 @@ def main():
 
     call = {"oct": pallas_oct_closest_hit, "quad": pallas_quad_closest_hit,
             "pair": pallas_pair_closest_hit}[kern]
+    hbm = os.environ.get("HBM", "0") == "1"
 
     @jax.jit
     def run():
+        if kern in ("oct", "quad"):
+            return call(dev, o, d, None, seed=None, packet=packet,
+                        hbm_leaves=hbm)
         return call(dev, o, d, None, seed=None, packet=packet)
 
     t0 = time.perf_counter()

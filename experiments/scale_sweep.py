@@ -41,11 +41,20 @@ def tier_of(dev):
         fits_vmem,
     )
 
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        oct_hbm_fits,
+        quad_hbm_fits,
+    )
+
     if os.environ.get("VKPT_PAIR", "1") == "1":
         if quad_fits_vmem(dev):
             return "quad"
+        if quad_hbm_fits(dev):
+            return "quad+hbm"
         if oct_fits_vmem(dev):
             return "oct"
+        if oct_hbm_fits(dev):
+            return "oct+hbm"
         if pair_fits_vmem(dev):
             return "pair"
     if fits_vmem(dev):

@@ -786,6 +786,14 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
+        if row_w % _LANE:
+            # Mosaic requires HBM DMA slices lane-aligned to 128
+            # ("Slice shape along dimension 1 must be aligned to
+            # tiling"); pad the table once per call — one XLA pad op
+            # (~0.2 ms at 74 MB), dwarfed by traversal.  block was
+            # computed from the un-padded width above.
+            tris = jnp.pad(tris, ((0, 0), (0, _LANE - row_w % _LANE)))
+            row_w = tris.shape[1]
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),

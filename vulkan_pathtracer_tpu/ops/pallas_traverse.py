@@ -1878,6 +1878,12 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
         # 3-slot scratch (one per on-chain leaf) per row visit.
         if C != 1:
             raise ValueError("hbm_leaves requires interleave C == 1")
+        if row_w % 128:
+            # Mosaic requires HBM DMA slices lane-aligned to 128;
+            # pad once per call (block above uses the un-padded
+            # width).
+            tris = jnp.pad(tris, ((0, 0), (0, 128 - row_w % 128)))
+            row_w = tris.shape[1]
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w),

@@ -241,53 +241,52 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     "VKPT_OCT_PACKET_PRIMARY", 2048))
             if _UNIFORM_STACK_KERNEL is not None:
                 kern = _UNIFORM_STACK_KERNEL
-            # VMEM-overflow fallback rides DOWN the table sizes: node
-            # tables shrink pair (Ni rows) -> quad (~Ni/2) -> oct
-            # (~Ni/4), all 512B/row, so past the quad ceiling only oct
-            # still fits (oct measured 1.04x of quad on secondaries —
-            # a free extension of the stack-kernel scene range).
+            # VMEM-overflow fallback order (measured at 2.02M tris,
+            # full 1080p launch): past the in-VMEM quad ceiling,
+            # quad+hbm-leaves (leaf table streamed from HBM, node
+            # table resident) measured 24.1 Mrays/s primaries and is
+            # preferred over the in-VMEM oct tier, which is slower
+            # (~18-21) AND faulted the TPU worker on >512-group
+            # launches at that table size.  oct+hbm is the deep
+            # fallback for scenes whose QUAD node table alone
+            # overflows (~8M+ tris).  In-VMEM oct stays reachable via
+            # VKPT_KERNEL_*=oct.
             if phase == "secondary":
-                tiers = ["quad", "oct", "pair"]
+                tiers = ["quad", "quad_hbm", "oct", "oct_hbm", "pair"]
             else:
-                tiers = ["pair", "quad", "oct"]
+                tiers = ["pair", "quad", "quad_hbm", "oct", "oct_hbm"]
             if kern in ("oct", "quad", "pair"):
-                tiers = [kern] + [k for k in tiers if k != kern]
+                pref = [kern, kern + "_hbm"]
+                tiers = pref + [k for k in tiers if k not in pref]
             if use_stack and kern != "packet":
-                calls = {
-                    "oct": (oct_fits_vmem, pallas_oct_closest_hit,
-                            pk_oct),
-                    "quad": (quad_fits_vmem, pallas_quad_closest_hit,
-                             pk_quad),
-                    "pair": (pair_fits_vmem, pallas_pair_closest_hit,
-                             pk_pair),
-                }
-                for k in tiers:
-                    fits, call, pk = calls[k]
-                    if fits(scene):
-                        return call(
-                            scene, origin, direction, active,
-                            interpret=not on_tpu, seed=seed, packet=pk,
-                        )
-                # Past every in-VMEM stack-kernel ceiling: stream the
-                # leaf table from HBM (per-visited-row DMA into a
-                # width-slot scratch) while the quad/oct node table —
-                # an order of magnitude smaller — stays resident.
                 from vulkan_pathtracer_tpu.ops.pallas_pair import (
                     oct_hbm_fits,
                     quad_hbm_fits,
                 )
 
-                for k, fits, call, pk in (
-                    ("quad", quad_hbm_fits, pallas_quad_closest_hit,
-                     pk_quad),
-                    ("oct", oct_hbm_fits, pallas_oct_closest_hit,
-                     pk_oct),
-                ):
+                calls = {
+                    "oct": (oct_fits_vmem, pallas_oct_closest_hit,
+                            pk_oct, False),
+                    "quad": (quad_fits_vmem, pallas_quad_closest_hit,
+                             pk_quad, False),
+                    "pair": (pair_fits_vmem, pallas_pair_closest_hit,
+                             pk_pair, False),
+                    "quad_hbm": (quad_hbm_fits,
+                                 pallas_quad_closest_hit, pk_quad,
+                                 True),
+                    "oct_hbm": (oct_hbm_fits, pallas_oct_closest_hit,
+                                pk_oct, True),
+                }
+                for k in tiers:
+                    if k not in calls:
+                        continue
+                    fits, call, pk, hbm = calls[k]
                     if fits(scene):
+                        kw = {"hbm_leaves": True} if hbm else {}
                         return call(
                             scene, origin, direction, active,
                             interpret=not on_tpu, seed=seed, packet=pk,
-                            hbm_leaves=True,
+                            **kw,
                         )
             if fits_vmem(scene):
                 if phase == "secondary":
