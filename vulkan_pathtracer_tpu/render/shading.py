@@ -239,3 +239,28 @@ def get_material_data(scene, tri_data: TriangleData) -> MaterialData:
         roughness=roughness,
         metallic=metallic,
     )
+
+
+def get_emissive_lean(scene, hit):
+    """Last-bounce fast path: only ``mat.emissive`` feeds radiance on
+    the final bounce (ray_gen.rgen:72-77 — no extension ray follows),
+    yet the generic path pays the full 34-f32 attribute-row gather +
+    material decode per lane for it.  For FLAT, TEXTURELESS scenes
+    with packed tables this instead fetches one (N,) material-id
+    gather + one (8,) uint32 material row and unpacks the emissive
+    factor — identical values to get_material_data(...).emissive (the
+    dummy-white texture multiplies by exactly 1.0, material.glsl:47).
+    Returns None when the lean path doesn't apply (instanced /
+    textured / unpacked scenes); callers fall back to the full fetch.
+    """
+    if getattr(scene, "instanced", False):
+        return None
+    if getattr(scene, "mat_packed", None) is None:
+        return None
+    if bool(scene.has_textures):
+        return None
+    tri = jnp.maximum(hit.tri, 0)
+    m = jnp.take(scene.tri_material, tri)
+    mrow = jnp.take(scene.mat_packed, m, axis=0)
+    er, eg, eb, _ = unpack_unorm4x8(mrow[:, 2])
+    return jnp.stack([er, eg, eb], axis=-1)

@@ -52,6 +52,7 @@ from vulkan_pathtracer_tpu.ops.intersect import (
 from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
 from vulkan_pathtracer_tpu.ops.vecmath import dot, mix
 from vulkan_pathtracer_tpu.render.shading import (
+    get_emissive_lean,
     get_material_data,
     get_triangle_data,
 )
@@ -435,11 +436,21 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
             missed[:, None], atten * sky_color(direction), 0.0
         )
 
-        tri_data = get_triangle_data(scene, hit)
-        mat = get_material_data(scene, tri_data)
+        tri_data = mat = None
+        if j == num_bounces - 1:
+            # Last bounce: only emissive feeds radiance — skip the
+            # 34-f32 attribute-row gather + material decode when the
+            # scene supports the lean fetch (values identical).
+            emissive = get_emissive_lean(scene, hit)
+        else:
+            emissive = None
+        if emissive is None:
+            tri_data = get_triangle_data(scene, hit)
+            mat = get_material_data(scene, tri_data)
+            emissive = mat.emissive
 
         color = color + jnp.where(
-            did_hit[:, None], mat.emissive * EMISSIVE_SCALE * atten, 0.0
+            did_hit[:, None], emissive * EMISSIVE_SCALE * atten, 0.0
         )
 
         if j < num_bounces - 1:
@@ -568,10 +579,13 @@ def _shade_and_extend(scene, hit, origin, direction, atten, color,
     color = color + jnp.where(
         missed[:, None], atten * sky_color(direction), 0.0
     )
-    tri_data = get_triangle_data(scene, hit)
-    mat = get_material_data(scene, tri_data)
+    emissive = get_emissive_lean(scene, hit) if last else None
+    if emissive is None:
+        tri_data = get_triangle_data(scene, hit)
+        mat = get_material_data(scene, tri_data)
+        emissive = mat.emissive
     color = color + jnp.where(
-        did_hit[:, None], mat.emissive * EMISSIVE_SCALE * atten, 0.0
+        did_hit[:, None], emissive * EMISSIVE_SCALE * atten, 0.0
     )
     if last:
         return origin, direction, atten, color, seed_x, seed_y, \
