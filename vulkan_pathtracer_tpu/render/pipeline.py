@@ -65,6 +65,27 @@ def generate_rays(position, horizontal, vertical, forward,
     return origin, direction
 
 
+def generate_rays_at(position, horizontal, vertical, forward,
+                     width: int, height: int, x_idx, y_idx):
+    """Primary rays for explicit pixel coordinates (x_idx, y_idx)
+    ((N,) int32, y in FULL-image rows).  Same per-lane f32 formula as
+    generate_rays — generating directly in a permuted (e.g. 2D-tile)
+    order is bit-identical to generating row-major and gathering, and
+    removes the permutation gathers entirely (measured ~38 ms per
+    column gather at 2M lanes; see _closest_hit_sorted)."""
+    px = (x_idx.astype(jnp.float32) + 0.5) / jnp.float32(width) \
+        * 2.0 - 1.0
+    py = (y_idx.astype(jnp.float32) + 0.5) / jnp.float32(height) \
+        * 2.0 - 1.0
+    direction = normalize(
+        forward[None, :]
+        + horizontal[None, :] * px[:, None]
+        - vertical[None, :] * py[:, None]
+    )
+    origin = jnp.broadcast_to(position[None, :], direction.shape)
+    return origin, direction
+
+
 def _pixel_seeds(width: int, height: int, frame, y_offset=0,
                  rows: int = None):
     if rows is None:
@@ -144,24 +165,34 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     if rows is None:
         rows = height
     n = rows * width
-    origin, direction = generate_rays(
-        position, horizontal, vertical, forward, width, height,
-        y_offset=y_offset, rows=rows,
-    )
-    seed_x, seed_y = _pixel_seeds(width, height, frame,
-                                  y_offset=y_offset, rows=rows)
 
     # Trace in 2D-tile order (see _tile_order); colors are scattered
-    # back to scanline order after the bounce loop.
+    # back to scanline order after the bounce loop.  Rays and seeds
+    # are GENERATED directly in tile order from the static pixel
+    # permutation (bit-identical to row-major + gather, per-lane
+    # elementwise math) — applying t_order to o/d/seed_x/seed_y was
+    # four ~38 ms column gathers per 1080p frame.
     tile_inv = None
     if rows > TILE_H and width > TILE_W:
         t_order, t_inv = _tile_order(rows, width)
-        t_order = jnp.asarray(t_order)
         tile_inv = jnp.asarray(t_inv)
-        origin = origin[t_order]
-        direction = direction[t_order]
-        seed_x = seed_x[t_order]
-        seed_y = seed_y[t_order]
+        pix = jnp.asarray(t_order)
+        x_idx = pix % width
+        y_idx = pix // width + jnp.asarray(y_offset, jnp.int32)
+        origin, direction = generate_rays_at(
+            position, horizontal, vertical, forward, width, height,
+            x_idx, y_idx,
+        )
+        seed_x, seed_y = rng.prng_seed(
+            x_idx.astype(jnp.uint32), y_idx.astype(jnp.uint32), frame
+        )
+    else:
+        origin, direction = generate_rays(
+            position, horizontal, vertical, forward, width, height,
+            y_offset=y_offset, rows=rows,
+        )
+        seed_x, seed_y = _pixel_seeds(width, height, frame,
+                                      y_offset=y_offset, rows=rows)
 
     def trace_chunk(chunk):
         o, d, sx, sy = chunk
@@ -328,22 +359,27 @@ def render_frames_joint(scene: DeviceScene, position, horizontal,
     )
 
     n = height * width
-    origin, direction = generate_rays(
-        position, horizontal, vertical, forward, width, height,
-    )
-    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
-                  (height, 1)).reshape(-1)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
-
     tile_inv = None
     if height > TILE_H and width > TILE_W:
+        # Generate directly in tile order (see render_rows).
         t_order, t_inv = _tile_order(height, width)
-        t_order = jnp.asarray(t_order)
         tile_inv = jnp.asarray(t_inv)
-        origin = origin[t_order]
-        direction = direction[t_order]
-        px = px[t_order]
-        py = py[t_order]
+        pix = jnp.asarray(t_order)
+        x_idx = pix % width
+        y_idx = pix // width
+        origin, direction = generate_rays_at(
+            position, horizontal, vertical, forward, width, height,
+            x_idx, y_idx,
+        )
+        px = x_idx.astype(jnp.uint32)
+        py = y_idx.astype(jnp.uint32)
+    else:
+        origin, direction = generate_rays(
+            position, horizontal, vertical, forward, width, height,
+        )
+        px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
+                      (height, 1)).reshape(-1)
+        py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
 
     frames = frame0 + jnp.arange(batch, dtype=jnp.uint32)
     seed_x, seed_y = jax.vmap(
@@ -399,23 +435,28 @@ def render_frames_pooled(scene: DeviceScene, positions, horizontals,
     f = positions.shape[0]
     n = height * width
 
-    o_f, d_f = jax.vmap(
-        lambda p, h, v, fw: generate_rays(p, h, v, fw, width, height)
-    )(positions, horizontals, verticals, forwards)
-
-    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
-                  (height, 1)).reshape(-1)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
-
     tile_inv = None
     if height > TILE_H and width > TILE_W:
+        # Generate directly in tile order (see render_rows).
         t_order, t_inv = _tile_order(height, width)
-        t_order = jnp.asarray(t_order)
         tile_inv = jnp.asarray(t_inv)
-        o_f = o_f[:, t_order]
-        d_f = d_f[:, t_order]
-        px = px[t_order]
-        py = py[t_order]
+        pix = jnp.asarray(t_order)
+        x_idx = pix % width
+        y_idx = pix // width
+        o_f, d_f = jax.vmap(
+            lambda p, h, v, fw: generate_rays_at(
+                p, h, v, fw, width, height, x_idx, y_idx)
+        )(positions, horizontals, verticals, forwards)
+        px = x_idx.astype(jnp.uint32)
+        py = y_idx.astype(jnp.uint32)
+    else:
+        o_f, d_f = jax.vmap(
+            lambda p, h, v, fw: generate_rays(p, h, v, fw, width,
+                                              height)
+        )(positions, horizontals, verticals, forwards)
+        px = jnp.tile(jnp.arange(width, dtype=jnp.uint32)[None, :],
+                      (height, 1)).reshape(-1)
+        py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
 
     seed_x, seed_y = jax.vmap(
         lambda fr: rng.prng_seed(px, py, fr)

@@ -355,6 +355,8 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
     the end and their packets terminate immediately), then scatter
     results back to pixel order.  Per-ray results are identical to the
     unsorted dispatch."""
+    import jax
+
     key = _bounce_sort_key(
         scene, origin, direction,
         jnp.ones(origin.shape[0], bool) if active is None else active,
@@ -364,20 +366,53 @@ def _closest_hit_sorted(scene, origin, direction, active, traversal: str,
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype)
     )
+    # Apply the permutation with ONE row gather each way.  Separate
+    # per-column gathers are latency-bound at ~38 ms per CALL at 2M
+    # lanes almost independent of width (glue_times harness: 7 column
+    # gathers = 269 ms of a 294 ms sort pipeline; the (N,16) row
+    # gather costs 74 ms total, ops/sort.py cost table) — packing
+    # o/d/active(/seed) into one payload row and the hit into a
+    # (N,4) row cuts the permutation cost ~3x.  Bit-exact: gathers
+    # are exact, int channels ride as f32 bitcasts.
+    cols = [origin, direction]
+    if active is not None:
+        cols.append(active.astype(jnp.float32)[:, None])
     if seed is not None:
-        seed = type(seed)(t=seed.t[order], tri=seed.tri[order],
-                          u=seed.u[order], v=seed.v[order])
-    hit = _closest_hit(
-        scene,
-        origin[order],
-        direction[order],
-        None if active is None else active[order],
-        traversal,
-        seed=seed,
-        phase=phase,
+        cols.extend([
+            seed.t[:, None],
+            jax.lax.bitcast_convert_type(seed.tri, jnp.float32)[:, None],
+            seed.u[:, None], seed.v[:, None],
+        ])
+    payload = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
+    o_s, d_s = payload[:, 0:3], payload[:, 3:6]
+    c = 6
+    act_s = None
+    if active is not None:
+        act_s = payload[:, c] > 0.5
+        c += 1
+    seed_s = None
+    if seed is not None:
+        seed_s = type(seed)(
+            t=payload[:, c],
+            tri=jax.lax.bitcast_convert_type(payload[:, c + 1],
+                                             jnp.int32),
+            u=payload[:, c + 2], v=payload[:, c + 3],
+        )
+    hit = _closest_hit(scene, o_s, d_s, act_s, traversal, seed=seed_s,
+                       phase=phase)
+    hp = jnp.take(
+        jnp.stack(
+            [hit.t,
+             jax.lax.bitcast_convert_type(hit.tri, jnp.float32),
+             hit.u, hit.v],
+            axis=1,
+        ),
+        inv, axis=0,
     )
     return type(hit)(
-        t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv], v=hit.v[inv]
+        t=hp[:, 0],
+        tri=jax.lax.bitcast_convert_type(hp[:, 1], jnp.int32),
+        u=hp[:, 2], v=hp[:, 3],
     )
 
 
