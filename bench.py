@@ -172,7 +172,7 @@ def main() -> int:
     # block_until_ready can return before execution completes, so all
     # timing below forces completion by fetching device scalars.
     path.apply(cam, 0.0)
-    image, rays = pipeline.render(cam, frame=0)
+    image, rays = pipeline.render(cam, frame=0, present_order=False)
     _ = float(image.sum()), float(rays)
 
     # Min over passes: relay throughput varies 2-5x run to run, so one
@@ -187,7 +187,10 @@ def main() -> int:
         t0 = time.perf_counter()
         for f in range(frames):
             path.apply(cam, 4.0 * f / max(frames, 1))
-            image, rays = pipeline.render(cam, frame=f + 1)
+            # Dispatch-order radiance: checksums are order-
+            # invariant; the app converts once at present time.
+            image, rays = pipeline.render(cam, frame=f + 1,
+                                          present_order=False)
             checksums.append(image.sum())
             ray_counts.append(rays)
         # Fetch everything: forces real completion of every frame.
@@ -246,14 +249,16 @@ def main() -> int:
                                height=0.35 * extent,
                                duration=4.0, center=tuple(center))
             cpath.apply(cam, 0.0)
-            image, rays = cpipe.render(cam, frame=0)
+            image, rays = cpipe.render(cam, frame=0,
+                                       present_order=False)
             _ = float(image.sum()), float(rays)
             t0 = time.perf_counter()
             csums = []
             crays = []
             for f in range(2):
                 cpath.apply(cam, 2.0 * f)
-                image, rays = cpipe.render(cam, frame=f + 1)
+                image, rays = cpipe.render(cam, frame=f + 1,
+                                           present_order=False)
                 csums.append(image.sum())
                 crays.append(rays)
             ctotal = float(sum(float(r) for r in crays))

@@ -242,8 +242,12 @@ def main(argv=None) -> int:
         if path is not None:
             t = path.duration * frame / max(args.frames - 1, 1)
             path.apply(camera, t)
-        image_dev, rays = pipeline.render(camera, frame)
-        image = np.asarray(image_dev)
+        # Render in dispatch order (skips the per-frame inverse tile
+        # gather) and convert on host once fetched — accumulation is
+        # order-invariant, presentation happens at save time.
+        image_dev, rays = pipeline.render(camera, frame,
+                                          present_order=False)
+        image = pipeline.to_present(np.asarray(image_dev))
         if acc is not None:
             acc.add_frame(image)
             if args.checkpoint and args.checkpoint_interval and (

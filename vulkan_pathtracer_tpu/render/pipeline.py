@@ -129,6 +129,18 @@ def _tile_order(rows: int, width: int):
     return order, inv
 
 
+def tile_inverse(height: int, width: int):
+    """Host-side inverse pixel permutation for presentation, or None
+    when the launch doesn't use tile order.  Callers rendering with
+    ``present_order=False`` apply it once at present/save time —
+    radiance sums and progressive accumulation are order-invariant,
+    so the per-frame device gather is presentation-layer work."""
+    if height > TILE_H and width > TILE_W:
+        _, t_inv = _tile_order(height, width)
+        return t_inv
+    return None
+
+
 def _pick_chunks(n: int, target: int) -> int:
     """Smallest chunk count >= n/target that divides n exactly.
 
@@ -153,7 +165,8 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
                 rr_start_bounce: int = 2,
                 ray_chunk: int = DEFAULT_RAY_CHUNK,
                 sort_secondary: bool = False,
-                seed_secondary: bool = False):
+                seed_secondary: bool = False,
+                present_order: bool = True):
     """Render image rows [y_offset, y_offset+rows): the shared core of
     the single-chip frame and the per-device tile under shard_map.
 
@@ -161,6 +174,12 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     ``ray_chunk``: this bounds peak HBM for the traversal state and
     lets early-converging chunks finish without waiting on the global
     slowest ray (the wavefront analog of workgroup scheduling).
+
+    ``present_order=False`` returns radiance in DISPATCH (2D-tile)
+    order, skipping the per-frame inverse-permutation gather: frame
+    loops that only accumulate (sums are order-invariant) present via
+    tile_inverse() once at output time — the swapchain analog of
+    presenting from the storage image only when shown.
     """
     if rows is None:
         rows = height
@@ -251,7 +270,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
             )
         acc = acc.reshape(n, 3)
         rays = jnp.sum(rays)
-    if tile_inv is not None:
+    if tile_inv is not None and present_order:
         acc = acc[tile_inv]
     image = (acc / jnp.float32(num_samples)).reshape(rows, width, 3)
     return image, rays
@@ -262,7 +281,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     static_argnames=(
         "num_samples", "num_bounces", "width", "height", "traversal",
         "russian_roulette", "rr_start_bounce", "ray_chunk",
-        "sort_secondary", "seed_secondary",
+        "sort_secondary", "seed_secondary", "present_order",
     ),
 )
 def render_frame(scene: DeviceScene, position, horizontal, vertical,
@@ -271,15 +290,18 @@ def render_frame(scene: DeviceScene, position, horizontal, vertical,
                  russian_roulette: bool = False, rr_start_bounce: int = 2,
                  ray_chunk: int = DEFAULT_RAY_CHUNK,
                  sort_secondary: bool = False,
-                 seed_secondary: bool = False):
-    """One full frame: (H, W, 3) f32 linear radiance + rays traced."""
+                 seed_secondary: bool = False,
+                 present_order: bool = True):
+    """One full frame: (H, W, 3) f32 linear radiance + rays traced.
+    With ``present_order=False`` radiance stays in dispatch order
+    (see render_rows) — present via tile_inverse()."""
     return render_rows(
         scene, position, horizontal, vertical, forward, frame,
         num_samples=num_samples, num_bounces=num_bounces,
         width=width, height=height, traversal=traversal,
         russian_roulette=russian_roulette, rr_start_bounce=rr_start_bounce,
         ray_chunk=ray_chunk, sort_secondary=sort_secondary,
-        seed_secondary=seed_secondary,
+        seed_secondary=seed_secondary, present_order=present_order,
     )
 
 
@@ -501,7 +523,12 @@ class RenderPipeline:
             config.sort_secondary and scene.num_triangles >= 16384
         )
 
-    def render(self, camera: Camera, frame: int) -> Tuple[jnp.ndarray, float]:
+    def render(self, camera: Camera, frame: int,
+               present_order: bool = True) -> Tuple[jnp.ndarray, float]:
+        """``present_order=False`` skips the per-frame inverse tile
+        gather (~40 ms at 1080p); the returned radiance is in dispatch
+        order — accumulate freely (order-invariant) and convert once
+        with ``to_present`` when showing/saving."""
         position, horizontal, vertical, forward = (
             jnp.asarray(v) for v in camera.push_constants()
         )
@@ -519,8 +546,19 @@ class RenderPipeline:
             ray_chunk=self.config.ray_chunk,
             sort_secondary=self._sort_secondary,
             seed_secondary=self.config.seed_secondary,
+            present_order=present_order,
         )
         return image, rays
+
+    def to_present(self, image: np.ndarray) -> np.ndarray:
+        """Host-side dispatch-order -> scanline conversion (inverse of
+        the static 2D-tile permutation); identity when the launch
+        didn't use tile order."""
+        t_inv = tile_inverse(self.height, self.width)
+        if t_inv is None:
+            return image
+        h, w = self.height, self.width
+        return np.asarray(image).reshape(h * w, 3)[t_inv].reshape(h, w, 3)
 
     def render_numpy(self, camera: Camera, frame: int):
         image, rays = self.render(camera, frame)
