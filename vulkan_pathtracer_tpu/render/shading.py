@@ -253,6 +253,10 @@ def get_emissive_lean(scene, hit):
     Returns None when the lean path doesn't apply (instanced /
     textured / unpacked scenes); callers fall back to the full fetch.
     """
+    import os
+
+    if os.environ.get("VKPT_LEAN_EMISSIVE", "1") != "1":
+        return None
     if getattr(scene, "instanced", False):
         return None
     if getattr(scene, "mat_packed", None) is None:
