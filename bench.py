@@ -132,9 +132,14 @@ def main() -> int:
         # B=32 measured best for the joint wavefront (ROADMAP round-2:
         # +73% over single-frame; larger batches saturate HBM state).
         batch = int(os.environ.get("BENCH_BATCH", 32))
+        # BENCH_JOINT=0: sequential device-side scan instead of the
+        # joint wavefront (diagnostic escape hatch — the metric stays
+        # measurable if the joint program faults a worker).
+        joint = os.environ.get("BENCH_JOINT", "1") == "1"
         path.apply(cam, 0.0)
         # Warm up / compile.
-        sum_img, rays = pipeline.render_batch_sum(cam, 0, batch)
+        sum_img, rays = pipeline.render_batch_sum(cam, 0, batch,
+                                                  joint=joint)
         _ = float(sum_img.sum()), float(rays)
         acc = None
         spp = 0
@@ -142,7 +147,8 @@ def main() -> int:
         total_rays = 0.0
         while spp < target_spp:
             b = min(batch, target_spp - spp)
-            sum_img, rays = pipeline.render_batch_sum(cam, spp, b)
+            sum_img, rays = pipeline.render_batch_sum(cam, spp, b,
+                                                      joint=joint)
             acc = sum_img if acc is None else acc + sum_img
             spp += b
             total_rays += float(rays)

@@ -163,6 +163,11 @@ class DeviceScene:
     instanced: bool = False  # static: two-level packed leaf values
     mb_bits: int = 0         # static: leaf-value mesh-block field width
     top_depth: int = 0       # static: TLAS depth (bounds refit sweeps)
+    # Static: every material's emissive factor is zero (textures can't
+    # resurrect it — they multiply the factor), so last-bounce
+    # radiance reduces to the sky/miss decision and the wavefront may
+    # use the ANY-HIT kernel there (ops/pallas_pair.pallas_quad_any_hit).
+    emissive_free: bool = False
 
     # -- pytree plumbing -----------------------------------------------------
     _ARRAY_FIELDS = (
@@ -189,7 +194,8 @@ class DeviceScene:
         return children, (self.num_triangles, self.bvh_depth,
                           self.max_leaf_size, self.bvh_orders,
                           self.has_textures, self.instanced,
-                          self.mb_bits, self.top_depth)
+                          self.mb_bits, self.top_depth,
+                          self.emissive_free)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -197,7 +203,8 @@ class DeviceScene:
         return cls(num_triangles=aux[0], bvh_depth=aux[1],
                    max_leaf_size=aux[2], bvh_orders=aux[3],
                    has_textures=aux[4], instanced=aux[5],
-                   mb_bits=aux[6], top_depth=aux[7], **kwargs)
+                   mb_bits=aux[6], top_depth=aux[7],
+                   emissive_free=aux[8], **kwargs)
 
     @property
     def has_bvh(self) -> bool:
@@ -517,6 +524,13 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         tex_width=jnp.asarray(np.asarray(widths, dtype=np.int32)),
         tex_height=jnp.asarray(np.asarray(heights, dtype=np.int32)),
         num_triangles=num_triangles,
+        # Emissive rgb rides the low 3 bytes of the packed factor
+        # (unpack_unorm4x8 xyz); a zero factor zeroes the texture
+        # product too, so the scene is statically emissive-free.
+        emissive_free=bool(
+            (mats["emissive_factor"].astype(np.uint32)
+             & np.uint32(0x00FFFFFF) == 0).all()
+        ),
     )
 
     dev.has_textures = len(scene.textures) > 0

@@ -358,6 +358,7 @@ def build_instanced_scene(scene: Scene, max_leaf_size: int = 8) -> DeviceScene:
         max_leaf_size=block,
     )
     dev.has_textures = base_dev.has_textures
+    dev.emissive_free = base_dev.emissive_free
     dev.mat_packed = base_dev.mat_packed
     dev.tri_attr = jnp.asarray(attr)
 

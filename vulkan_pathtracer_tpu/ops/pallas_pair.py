@@ -771,6 +771,308 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
     return kernel
 
 
+def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
+                             tmin: float, width: int,
+                             hbm_leaves: bool = False):
+    """ANY-HIT variant of the n-ary stack kernel: per-lane state is a
+    single resolved bit instead of (t, tri, u, v).
+
+    Exactness: a lane resolves iff SOME triangle passes the identical
+    Moller-Trumbore accept window (t_near, t_limit) the closest-hit
+    kernel uses — the hit/miss classification is an order-independent
+    OR over per-triangle tests, so it matches the closest-hit kernel's
+    ``t < MISS_T`` mask bit-for-bit (tests/test_anyhit.py).
+
+    Why it's fast: resolved lanes stop driving slab descent (their
+    entry window collapses to empty), so the packet's visit union
+    SHRINKS as lanes find occluders — and a pipelined all-resolved
+    reduction terminates the whole packet early instead of refining a
+    closest t nobody needs.  Used for zero-emissive last bounces,
+    where radiance needs only the sky/miss decision (the TPU analog
+    of gl_RayFlagsTerminateOnFirstHitEXT shadow rays — the reference
+    pays full closest-hit on its last bounce, ray_gen.rgen:50-63).
+    """
+    sub = packet // _LANE
+
+    def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
+               *rest):
+        leaf_scratch = leaf_sems = None
+        if hbm_leaves:
+            leaf_scratch, leaf_sems = rest
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
+                 for i in range(12)]
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ox, oy, oz = comps[0], comps[1], comps[2]
+        dx, dy, dz = comps[3], comps[4], comps[5]
+        tl = comps[6]
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+        oxi, oyi, ozi = ox * ix, oy * iy, oz * iz
+        tnear = jnp.maximum(comps[11], jnp.float32(tmin))
+        big = jnp.float32(PAIR_BIG)
+
+        # Inactive lanes (tl < 0) start resolved so a packet of dead
+        # rays terminates on its first visit; callers mask the output
+        # with their own active set anyway.
+        hit0 = jnp.where(tl < 0.0, jnp.float32(1.0), jnp.float32(0.0))
+
+        def mt_block(row, hitf, slot=0):
+            if hbm_leaves:
+                pltpu.make_async_copy(
+                    tris_ref.at[row],
+                    leaf_scratch.at[slot],
+                    leaf_sems.at[slot],
+                ).wait()
+                tread = lambda base: leaf_scratch[slot, base]
+            else:
+                tread = lambda base: tris_ref[row, base]
+            for k in range(block):
+                base = k * 9
+                v0x = tread(base + 0)
+                v0y = tread(base + 1)
+                v0z = tread(base + 2)
+                e1x = tread(base + 3)
+                e1y = tread(base + 4)
+                e1z = tread(base + 5)
+                e2x = tread(base + 6)
+                e2y = tread(base + 7)
+                e2z = tread(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                # Accept window identical to the closest-hit kernel's
+                # FIRST accept (t_best starts at MISS_T > tl): any
+                # accepted triangle resolves the lane.
+                acc = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (t < tl))
+                hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
+            return hitf
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            cur, sp, hitf = state
+            f = [quads_ref[cur, i] for i in range(7 * width)]
+            # Resolved lanes stop driving descent: their slab window
+            # collapses (tf < 0 <= tn), shrinking the packet union.
+            tl_eff = jnp.where(hitf > 0.5, jnp.float32(-1.0), tl)
+
+            def entry(s):
+                b = f[s * 6:s * 6 + 6]
+                tx0 = b[0] * ix - oxi
+                tx1 = b[3] * ix - oxi
+                ty0 = b[1] * iy - oyi
+                ty1 = b[4] * iy - oyi
+                tz0 = b[2] * iz - ozi
+                tz1 = b[5] * iz - ozi
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tnear),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), tl_eff),
+                )
+                return jnp.where(tn <= tf, tn, big)
+
+            es = [entry(s) for s in range(width)]
+            # Independent cross-lane reductions — the width mins and
+            # the all-resolved min pipeline together (~108 cyc for 8,
+            # mosaic_costs).
+            ms = [jnp.min(e) for e in es]
+            m_res = jnp.min(hitf)
+            encs = [f[6 * width + s] for s in range(width)]
+            hits = [m < big for m in ms]
+            leafs = [c < 0.0 for c in encs]
+
+            if hbm_leaves:
+                for s in range(width):
+                    @pl.when(jnp.logical_and(hits[s], leafs[s]))
+                    def _(s=s):
+                        row = (-encs[s]).astype(jnp.int32) - 1
+                        pltpu.make_async_copy(
+                            tris_ref.at[row],
+                            leaf_scratch.at[s],
+                            leaf_sems.at[s],
+                        ).start()
+            for s in range(width):
+                hitf = jax.lax.cond(
+                    jnp.logical_and(hits[s], leafs[s]),
+                    functools.partial(
+                        lambda cv, h, s=s: mt_block(
+                            (-cv).astype(jnp.int32) - 1, h, slot=s),
+                        encs[s]),
+                    lambda h: h,
+                    hitf,
+                )
+
+            keys = [jnp.where(
+                jnp.logical_and(hits[s], jnp.logical_not(leafs[s])),
+                ms[s], big) for s in range(width)]
+            ks = list(keys)
+            cs = [c.astype(jnp.int32) for c in encs]
+
+            def cswap(a, b):
+                lt = ks[a] <= ks[b]
+                ka = jnp.where(lt, ks[a], ks[b])
+                kb = jnp.where(lt, ks[b], ks[a])
+                ca = jnp.where(lt, cs[a], cs[b])
+                cb = jnp.where(lt, cs[b], cs[a])
+                ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
+
+            for a, b in _SORT_NETS[width]:
+                cswap(a, b)
+
+            live = [k < big for k in ks]
+            pos = [None] * width
+            p = sp
+            for s in range(width - 1, 0, -1):
+                pos[s] = p
+                p = p + live[s].astype(jnp.int32)
+            sp_pushed = p
+
+            for s in range(width - 1, 0, -1):
+                @pl.when(live[s])
+                def _(s=s):
+                    stack_ref[pos[s]] = cs[s]
+
+            desc = live[0]
+            popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
+            can_pop = sp_pushed > 0
+            cur_new = jnp.where(
+                desc, cs[0],
+                jnp.where(can_pop, popped, jnp.int32(-1)))
+            # All-resolved early exit (one visit of lag: m_res was
+            # read before this visit's MT — conservative, never skips
+            # an unresolved lane).
+            cur_new = jnp.where(m_res > 0.5, jnp.int32(-1), cur_new)
+            sp_new = jnp.where(desc, sp_pushed,
+                               jnp.maximum(sp_pushed - 1, 0))
+            return (cur_new, sp_new, hitf)
+
+        init = (jnp.int32(0), jnp.int32(0), hit0)
+        _, _, hb = jax.lax.while_loop(cond, body, init)
+        out_ref[0, 0, 0, :] = hb.reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
+def _nary_anyhit(nodes, tris, rays, *, interpret=False,
+                 hbm_leaves=False):
+    """Any-hit launch: same table/ray layout as _nary_traverse, output
+    is one row per packet (resolved flag, 1.0/0.0)."""
+    n_rows, node_w = nodes.shape
+    width = node_w // 8
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, _, _, packet = rays.shape
+
+    if hbm_leaves:
+        if row_w % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, _LANE - row_w % _LANE)))
+            row_w = tris.shape[1]
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
+    if hbm_leaves:
+        scratch_shapes += [
+            pltpu.VMEM((width, row_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((width,)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n_rows, node_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            tri_spec,
+            pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, packet), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+    )
+    kernel = _make_nary_anyhit_kernel(n_rows, block, packet, TMIN,
+                                      width, hbm_leaves=hbm_leaves)
+    leaf_resident = 0 if hbm_leaves else n_leaves * 512
+    need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 1, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(nodes, tris, rays)
+
+
+def pallas_quad_any_hit(scene, origin, direction, active=None,
+                        interpret=False, packet: int = None,
+                        hbm_leaves: bool = False) -> jnp.ndarray:
+    """Any-hit (occlusion) query via the 4-wide stack kernel: returns
+    a (N,) bool — True iff the closest-hit kernel would report a hit
+    (t < MISS_T) for that lane.  Inactive lanes return False."""
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),   # pad lanes: inactive -> pre-resolved
+            pad1(zeros), pad1(zeros), pad1(zeros), pad1(zeros),
+            pad1(zeros),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    out = _nary_anyhit(scene.bvh_quad, scene.tri_blocks, rays,
+                       interpret=interpret, hbm_leaves=hbm_leaves)
+    hitf = out.reshape(g * packet)[:n]
+    hit = hitf > 0.5
+    if active is not None:
+        hit = hit & active
+    return hit
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
 def _nary_traverse(nodes, tris, rays, *, interpret=False,
                    hbm_leaves=False):

@@ -564,15 +564,17 @@ class RenderPipeline:
         image, rays = self.render(camera, frame)
         return np.asarray(image), float(rays)
 
-    def render_batch_sum(self, camera: Camera, frame0: int, batch: int):
+    def render_batch_sum(self, camera: Camera, frame0: int, batch: int,
+                         joint: bool = True):
         """Sum of `batch` consecutive progressive frames in one
         dispatch.  At 1 spp the joint wavefront path is used (shared
-        primary hit + cross-frame sorted bounces); multi-spp falls back
-        to the sequential device-side scan."""
+        primary hit + cross-frame sorted bounces); multi-spp — or
+        ``joint=False`` — falls back to the sequential device-side
+        scan (same radiance up to XLA reassociation)."""
         position, horizontal, vertical, forward = (
             jnp.asarray(v) for v in camera.push_constants()
         )
-        if self.config.num_samples == 1 and batch > 1:
+        if joint and self.config.num_samples == 1 and batch > 1:
             return render_frames_joint(
                 self.scene, position, horizontal, vertical, forward,
                 jnp.uint32(frame0),

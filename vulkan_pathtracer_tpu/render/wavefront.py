@@ -329,6 +329,91 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
     return bvh_closest_hit(scene, origin, direction, active, seed=seed)
 
 
+def _anyhit_enabled(scene) -> bool:
+    """Whether the last bounce may use the ANY-HIT kernel: the scene
+    must be statically emissive-free (last-bounce radiance is then
+    only the sky/miss decision — emissive x atten is identically zero
+    for hit lanes), gated by VKPT_ANYHIT (default on).  Inside a
+    chunked trace (uniform_stack_kernel active) the chunk body would
+    mix the closest-hit and any-hit kernels in one lax.map — the
+    pattern that faulted the TPU worker for pair+quad — so it is
+    separately gated by VKPT_ANYHIT_CHUNKED."""
+    import os
+
+    if os.environ.get("VKPT_ANYHIT", "1") != "1":
+        return False
+    if not getattr(scene, "emissive_free", False):
+        return False
+    if (_UNIFORM_STACK_KERNEL is not None
+            and os.environ.get("VKPT_ANYHIT_CHUNKED", "1") != "1"):
+        return False
+    return True
+
+
+def _any_hit(scene, origin, direction, active, traversal: str):
+    """Occlusion query: (N,) bool, True exactly where _closest_hit
+    would report a hit (t < MISS_T).  On TPU (or traversal="pallas")
+    flat scenes dispatch the quad-table ANY-HIT stack kernel —
+    resolved lanes stop driving descent and packets terminate when
+    all lanes resolve, so enclosed-interior last bounces cost a
+    fraction of a closest-hit pass (the analog of
+    gl_RayFlagsTerminateOnFirstHitEXT).  Instanced scenes and
+    non-Pallas paths fall back to closest-hit + t comparison (exact,
+    no speedup)."""
+    import os as _os
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    run_pallas = traversal in ("pallas", "pair") or (
+        traversal == "auto" and on_tpu and scene.has_bvh)
+    if (run_pallas and not getattr(scene, "instanced", False)
+            and _os.environ.get("VKPT_PAIR", "1") == "1"):
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_quad_any_hit,
+            quad_fits_vmem,
+            quad_hbm_fits,
+        )
+
+        pk = int(_os.environ.get("VKPT_ANYHIT_PACKET", 2048))
+        if quad_fits_vmem(scene, packet=pk):
+            return pallas_quad_any_hit(scene, origin, direction,
+                                       active, interpret=not on_tpu,
+                                       packet=pk)
+        if quad_hbm_fits(scene, packet=pk):
+            return pallas_quad_any_hit(scene, origin, direction,
+                                       active, interpret=not on_tpu,
+                                       packet=pk, hbm_leaves=True)
+    hit = _closest_hit(scene, origin, direction, active, traversal,
+                       phase="secondary")
+    h = hit.t < MISS_T
+    if active is not None:
+        h = h & active
+    return h
+
+
+def _any_hit_sorted(scene, origin, direction, active, traversal: str):
+    """Sorted-dispatch any-hit: one payload row gather in, one column
+    gather back for the single hit bit (the bounce key keeps packets
+    coherent so they resolve and terminate early together)."""
+    key = _bounce_sort_key(
+        scene, origin, direction,
+        jnp.ones(origin.shape[0], bool) if active is None else active,
+    )
+    _, order = _state_sort_order(key, _sort_chunk())
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    cols = [origin, direction]
+    if active is not None:
+        cols.append(active.astype(jnp.float32)[:, None])
+    payload = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
+    o_s, d_s = payload[:, 0:3], payload[:, 3:6]
+    act_s = payload[:, 6] > 0.5 if active is not None else None
+    hit_s = _any_hit(scene, o_s, d_s, act_s, traversal)
+    return jnp.take(hit_s, inv, axis=0)
+
+
 def _interleave10(v):
     v = v & jnp.uint32(0x3FF)
     v = (v | (v << 16)) & jnp.uint32(0x030000FF)
@@ -457,6 +542,23 @@ def trace_sample(scene, origin, direction, seed_x, seed_y, *,
             seed = leaf_seed_hit(scene, origin, direction, prev_block,
                                  active=alive)
         phase = "primary" if j == 0 else "secondary"
+        if j == num_bounces - 1 and _anyhit_enabled(scene):
+            # Last bounce of an emissive-free scene: radiance needs
+            # only the sky/miss decision — ANY-HIT traversal (values
+            # identical: hit lanes would add emissive x atten == 0,
+            # and no RNG draws happen on the last bounce).
+            if sort_secondary and j > 0:
+                hit_mask = _any_hit_sorted(scene, origin, direction,
+                                           alive, traversal)
+            else:
+                hit_mask = _any_hit(scene, origin, direction, alive,
+                                    traversal)
+            missed = alive & ~hit_mask
+            color = color + jnp.where(
+                missed[:, None], atten * sky_color(direction), 0.0
+            )
+            alive = jnp.zeros_like(alive)
+            continue
         if sort_secondary and j > 0:
             hit = _closest_hit_sorted(scene, origin, direction, alive,
                                       traversal, seed=seed, phase=phase)
@@ -764,12 +866,24 @@ def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
     rays_traced = jnp.float32(0.0)
 
     def chunk_fn(last: bool, rr: bool, phase: str):
+        anyhit = last and _anyhit_enabled(scene)
+
         def fn(st):
             o, d, atten, color, csx, csy, c_alive, c_lane = \
                 _unpack_state(st)
 
             def work(args):
                 o, d, atten, color, csx, csy, c_alive = args
+                if anyhit:
+                    # Emissive-free last bounce: sky/miss only (the
+                    # state is already globally key-sorted, so chunk
+                    # packets are coherent and resolve early).
+                    hm = _any_hit(scene, o, d, c_alive, traversal)
+                    missed = c_alive & ~hm
+                    color2 = color + jnp.where(
+                        missed[:, None], atten * sky_color(d), 0.0)
+                    return (o, d, atten, color2, csx, csy,
+                            jnp.zeros_like(c_alive))
                 hit = _closest_hit(scene, o, d, c_alive, traversal,
                                    phase=phase)
                 return _shade_and_extend(
@@ -939,12 +1053,22 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
     n_chunks = state.shape[0] // chunk
 
     def chunk_fn(last: bool, rr: bool):
+        anyhit = last and _anyhit_enabled(scene)
+
         def fn(st):
             o, d, atten, color, csx, csy, c_alive, c_lane = \
                 _unpack_state(st)
 
             def work(args):
                 o, d, atten, color, csx, csy, c_alive = args
+                if anyhit:
+                    # Emissive-free last bounce: sky/miss only.
+                    hm = _any_hit(scene, o, d, c_alive, traversal)
+                    missed = c_alive & ~hm
+                    col2 = color + jnp.where(
+                        missed[:, None], atten * sky_color(d), 0.0)
+                    return (o, d, atten, col2, csx, csy,
+                            jnp.zeros_like(c_alive))
                 hit = _closest_hit(scene, o, d, c_alive, traversal,
                                    phase="secondary")
                 o2, d2, att2, col2, sx2, sy2, al2 = _shade_and_extend(
