@@ -226,6 +226,41 @@ def main():
                              jax.jit(lambda T0=T0: pass1_only(T0))))
             variants.append((f"two-pass p{p}   ",
                              jax.jit(lambda T0=T0: two_pass(T0))))
+    elif which == "anyhit":
+        # ANY-HIT vs closest-hit on the same rays (the emissive-free
+        # last-bounce question).  The hit masks must agree: the
+        # closest-hit rows report chk = sum of miss-filtered 1s via a
+        # mask wrapper so every row's chk is the HIT COUNT.
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_pair_any_hit,
+            pallas_quad_any_hit,
+            pallas_quad_closest_hit,
+        )
+
+        class _M:  # adapt a mask (or Hit) to the timing loop's .t
+            def __init__(self, t):
+                self.t = t
+
+        def ah(pk, hbm=False):
+            return lambda: _M(pallas_quad_any_hit(
+                dev, o, d, alive, packet=pk,
+                hbm_leaves=hbm).astype(jnp.float32))
+
+        def ch(pk):
+            def fn():
+                h = pallas_quad_closest_hit(dev, o, d, alive, packet=pk)
+                return _M((h.t < 1e32).astype(jnp.float32))
+            return fn
+
+        variants = [
+            ("quad closest pk2048", ch(2048)),
+            ("anyhit pk1024      ", ah(1024)),
+            ("anyhit pk2048      ", ah(2048)),
+            ("anyhit pk3072      ", ah(3072)),
+            ("anyhit pk4096      ", ah(4096)),
+            ("anyhit pair pk3072 ", lambda: _M(pallas_pair_any_hit(
+                dev, o, d, alive, packet=3072).astype(jnp.float32))),
+        ]
     elif which == "pipe":
         variants = [
             ("pk3072 baseline", lambda: pallas_closest_hit(

@@ -87,6 +87,42 @@ def test_anyhit_hbm_leaves_matches(cols_dev):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_pair_anyhit_matches(cols_dev):
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_any_hit,
+        pallas_pair_closest_hit,
+    )
+
+    o, d = _rays(1100, seed=17)
+    active = jnp.asarray(np.arange(1100) % 4 != 0)
+    ref = pallas_pair_closest_hit(cols_dev, o, d, active,
+                                  interpret=True)
+    got = pallas_pair_any_hit(cols_dev, o, d, active, interpret=True)
+    ref_mask = (np.asarray(ref.t) < MISS_T) & np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(got), ref_mask)
+
+
+def test_pair_anyhit_instanced(request):
+    """Instanced (two-level) scene: the pair any-hit kernel's
+    object-space MT must reproduce the instanced closest-hit mask."""
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_any_hit,
+        pallas_pair_closest_hit,
+    )
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_instanced_scene(scene)
+    assert dev.instanced
+    o, d = _rays(900, seed=19)
+    ref = pallas_pair_closest_hit(dev, o, d, interpret=True)
+    got = pallas_pair_any_hit(dev, o, d, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(ref.t) < MISS_T)
+
+
 def test_anyhit_dispatch_and_sorted(cols_dev):
     """_any_hit / _any_hit_sorted (traversal="pallas": interpret
     kernel on CPU) agree with the XLA closest-hit mask."""

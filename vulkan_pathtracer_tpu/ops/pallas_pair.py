@@ -977,6 +977,269 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
     return kernel
 
 
+def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
+                             tmin: float, instanced: bool = False,
+                             mb_bits: int = 0):
+    """ANY-HIT variant of the pair (BVH2 shared-stack) kernel — the
+    instanced-capable tier (object-space MT per leaf visit, same
+    contract as _make_pair_kernel).  See _make_nary_anyhit_kernel for
+    the resolved-bit semantics and exactness argument."""
+    sub = packet // _LANE
+
+    def kernel(pairs_ref, tris_ref, *rest):
+        if instanced:
+            inst_ref, rays_ref, out_ref, stack_ref = rest
+        else:
+            inst_ref = None
+            rays_ref, out_ref, stack_ref = rest
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
+                 for i in range(12)]
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ox, oy, oz = comps[0], comps[1], comps[2]
+        dx, dy, dz = comps[3], comps[4], comps[5]
+        tl = comps[6]
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+        oxi, oyi, ozi = ox * ix, oy * iy, oz * iz
+        tnear = jnp.maximum(comps[11], jnp.float32(tmin))
+        big = jnp.float32(PAIR_BIG)
+        hit0 = jnp.where(tl < 0.0, jnp.float32(1.0), jnp.float32(0.0))
+
+        def mt_block(leaf_i, hitf):
+            mox, moy, moz = ox, oy, oz
+            mdx, mdy, mdz = dx, dy, dz
+            if instanced:
+                inst = leaf_i >> mb_bits
+                row = leaf_i & ((1 << mb_bits) - 1)
+                m = [inst_ref[inst, f_] for f_ in range(13)]
+                det_sign = m[12]
+                nox = m[0] * mox + m[1] * moy + m[2] * moz + m[9]
+                noy = m[3] * mox + m[4] * moy + m[5] * moz + m[10]
+                noz = m[6] * mox + m[7] * moy + m[8] * moz + m[11]
+                ndx = m[0] * mdx + m[1] * mdy + m[2] * mdz
+                ndy = m[3] * mdx + m[4] * mdy + m[5] * mdz
+                ndz = m[6] * mdx + m[7] * mdy + m[8] * mdz
+                mox, moy, moz = nox, noy, noz
+                mdx, mdy, mdz = ndx, ndy, ndz
+            else:
+                row = leaf_i
+                det_sign = None
+            for k in range(block):
+                base = k * 9
+                v0x = tris_ref[row, base + 0]
+                v0y = tris_ref[row, base + 1]
+                v0z = tris_ref[row, base + 2]
+                e1x = tris_ref[row, base + 3]
+                e1y = tris_ref[row, base + 4]
+                e1z = tris_ref[row, base + 5]
+                e2x = tris_ref[row, base + 6]
+                e2y = tris_ref[row, base + 7]
+                e2z = tris_ref[row, base + 8]
+                px = mdy * e2z - mdz * e2y
+                py = mdz * e2x - mdx * e2z
+                pz = mdx * e2y - mdy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                if det_sign is not None:
+                    front = det * det_sign > 0.0
+                else:
+                    front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = mox - v0x
+                ty = moy - v0y
+                tz = moz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (mdx * qx + mdy * qy + mdz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                acc = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (t < tl))
+                hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
+            return hitf
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            cur, sp, hitf = state
+            f = [pairs_ref[cur, i] for i in range(14)]
+            tl_eff = jnp.where(hitf > 0.5, jnp.float32(-1.0), tl)
+
+            def slab(b):
+                tx0 = b[0] * ix - oxi
+                tx1 = b[3] * ix - oxi
+                ty0 = b[1] * iy - oyi
+                ty1 = b[4] * iy - oyi
+                tz0 = b[2] * iz - ozi
+                tz1 = b[5] * iz - ozi
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tnear),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), tl_eff),
+                )
+                return jnp.where(tn <= tf, tn, big)
+
+            e0 = slab(f[0:6])
+            e1 = slab(f[6:12])
+            m0 = jnp.min(e0)
+            m1 = jnp.min(e1)
+            m_res = jnp.min(hitf)
+            h0 = m0 < big
+            h1 = m1 < big
+            c0 = f[12]
+            c1 = f[13]
+            leaf0 = c0 < 0.0
+            leaf1 = c1 < 0.0
+
+            def maybe_leaf(h, lf, cv, hitf):
+                return jax.lax.cond(
+                    jnp.logical_and(h, lf),
+                    lambda hf: mt_block((-cv).astype(jnp.int32) - 1, hf),
+                    lambda hf: hf,
+                    hitf,
+                )
+
+            hitf = maybe_leaf(h0, leaf0, c0, hitf)
+            hitf = maybe_leaf(h1, leaf1, c1, hitf)
+
+            i0 = jnp.logical_and(h0, jnp.logical_not(leaf0))
+            i1 = jnp.logical_and(h1, jnp.logical_not(leaf1))
+            both = jnp.logical_and(i0, i1)
+            near0 = m0 <= m1
+            near_enc = jnp.where(near0, c0, c1).astype(jnp.int32)
+            far_enc = jnp.where(near0, c1, c0).astype(jnp.int32)
+
+            @pl.when(both)
+            def _():
+                stack_ref[sp] = far_enc
+
+            sp_pushed = sp + both.astype(jnp.int32)
+            one = jnp.where(i0, c0, c1).astype(jnp.int32)
+            desc = jnp.logical_or(i0, i1)
+            nxt_desc = jnp.where(both, near_enc, one)
+
+            popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
+            can_pop = sp_pushed > 0
+            cur_new = jnp.where(
+                desc, nxt_desc,
+                jnp.where(can_pop, popped, jnp.int32(-1)),
+            )
+            cur_new = jnp.where(m_res > 0.5, jnp.int32(-1), cur_new)
+            sp_new = jnp.where(desc, sp_pushed,
+                               jnp.maximum(sp_pushed - 1, 0))
+            return (cur_new, sp_new, hitf)
+
+        init = (jnp.int32(0), jnp.int32(0), hit0)
+        _, _, hb = jax.lax.while_loop(cond, body, init)
+        out_ref[0, 0, 0, :] = hb.reshape(-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits"))
+def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
+                 mb_bits=0):
+    """Any-hit launch on the pair table; output one row per packet."""
+    n_rows = pairs.shape[0]
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    g, _, _, packet = rays.shape
+    instanced = inst_inv is not None
+
+    in_specs = [
+        pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [pairs, tris]
+    if instanced:
+        in_specs.append(
+            pl.BlockSpec(inst_inv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(inst_inv)
+    in_specs.append(
+        pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(rays)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, packet), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+    )
+    kernel = _make_pair_anyhit_kernel(n_rows, block, packet, TMIN,
+                                      instanced=instanced,
+                                      mb_bits=mb_bits)
+    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+    if instanced:
+        need += inst_inv.shape[0] * 512
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 1, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(*args)
+
+
+def pallas_pair_any_hit(scene, origin, direction, active=None,
+                        interpret=False, packet: int = None
+                        ) -> jnp.ndarray:
+    """Any-hit query via the pair-stack kernel — carries the instanced
+    object-space leaf decode, so two-level scenes get the emissive-free
+    last-bounce fast path too."""
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_PAIR_PACKET", "3072"))
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(zeros), pad1(zeros), pad1(zeros), pad1(zeros),
+            pad1(zeros),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    inst = scene.inst_inv if getattr(scene, "instanced", False) else None
+    out = _pair_anyhit(scene.bvh_pair, scene.tri_blocks, rays, inst,
+                       interpret=interpret,
+                       mb_bits=getattr(scene, "mb_bits", 0))
+    hit = out.reshape(g * packet)[:n] > 0.5
+    if active is not None:
+        hit = hit & active
+    return hit
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
 def _nary_anyhit(nodes, tris, rays, *, interpret=False,
                  hbm_leaves=False):

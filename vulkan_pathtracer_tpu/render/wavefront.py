@@ -367,23 +367,34 @@ def _any_hit(scene, origin, direction, active, traversal: str):
     on_tpu = jax.default_backend() == "tpu"
     run_pallas = traversal in ("pallas", "pair") or (
         traversal == "auto" and on_tpu and scene.has_bvh)
-    if (run_pallas and not getattr(scene, "instanced", False)
-            and _os.environ.get("VKPT_PAIR", "1") == "1"):
+    if run_pallas and _os.environ.get("VKPT_PAIR", "1") == "1":
         from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pair_fits_vmem,
+            pallas_pair_any_hit,
             pallas_quad_any_hit,
             quad_fits_vmem,
             quad_hbm_fits,
         )
 
         pk = int(_os.environ.get("VKPT_ANYHIT_PACKET", 2048))
-        if quad_fits_vmem(scene, packet=pk):
-            return pallas_quad_any_hit(scene, origin, direction,
+        if not getattr(scene, "instanced", False):
+            if quad_fits_vmem(scene, packet=pk):
+                return pallas_quad_any_hit(scene, origin, direction,
+                                           active,
+                                           interpret=not on_tpu,
+                                           packet=pk)
+            if quad_hbm_fits(scene, packet=pk):
+                return pallas_quad_any_hit(scene, origin, direction,
+                                           active,
+                                           interpret=not on_tpu,
+                                           packet=pk, hbm_leaves=True)
+        if pair_fits_vmem(scene, packet=pk):
+            # Pair tier: carries the instanced object-space leaf
+            # decode (two-level scenes) and serves flat scenes whose
+            # quad table is absent.
+            return pallas_pair_any_hit(scene, origin, direction,
                                        active, interpret=not on_tpu,
                                        packet=pk)
-        if quad_hbm_fits(scene, packet=pk):
-            return pallas_quad_any_hit(scene, origin, direction,
-                                       active, interpret=not on_tpu,
-                                       packet=pk, hbm_leaves=True)
     hit = _closest_hit(scene, origin, direction, active, traversal,
                        phase="secondary")
     h = hit.t < MISS_T
@@ -1092,12 +1103,23 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
 
         return fn
 
+    import os as _os
+
     for j in range(1, num_bounces):
-        o, d, _, _, _, _, alive, _ = _unpack_state(state)
-        if sort_secondary:
+        last = j == num_bounces - 1
+        # The global re-sort costs a 66M-lane argsort + (M,16) row
+        # gather per bounce; on the ANY-HIT last bounce (emissive-free
+        # scenes) packets resolve in a handful of visits, so the
+        # previous bounce's ordering (origins = previous endpoints)
+        # may already be coherent enough — VKPT_ANYHIT_SORT=0 skips
+        # the sort there (scheduling-only, results exact).
+        sort_this = sort_secondary and not (
+            last and _anyhit_enabled(scene)
+            and _os.environ.get("VKPT_ANYHIT_SORT", "1") != "1")
+        if sort_this:
+            o, d, _, _, _, _, alive, _ = _unpack_state(state)
             key = _bounce_sort_key(scene, o, d, alive)
             state = _permute_state(state, key, _sort_chunk())
-        last = j == num_bounces - 1
         rr = russian_roulette and (j + 1) >= rr_start_bounce
         state, counts = jax.lax.map(
             chunk_fn(last, rr), state.reshape(n_chunks, chunk, 16)
