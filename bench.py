@@ -27,6 +27,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # VKPT_PLATFORM=cpu: local smoke runs (JAX_PLATFORMS is overridden
+    # by the axon sitecustomize, so the config update is the only
+    # reliable switch; must land before any device array exists).
+    plat = os.environ.get("VKPT_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     # Persistent compile cache: remote-compile latency through the TPU
     # tunnel is highly variable; cache hits skip it entirely.
     cache_dir = os.environ.get("VKPT_COMPILE_CACHE", "/tmp/vkpt_jax_cache")
@@ -174,11 +181,23 @@ def main() -> int:
         print(json.dumps(result))
         return 0
 
+    # BENCH_HEADLINE=joint: render each frame through the joint
+    # wavefront structure at batch=1 (per-bounce single-kernel lax.map
+    # bodies — lets the any-hit last bounce run without the
+    # mixed-kernel chunked-trace constraint).  Radiance matches
+    # render() up to XLA reassociation; ray counts are identical.
+    if os.environ.get("BENCH_HEADLINE") == "joint":
+        def render_once(f):
+            return pipeline.render_batch_sum(cam, f, 1, joint=True)
+    else:
+        def render_once(f):
+            return pipeline.render(cam, frame=f, present_order=False)
+
     # Warmup / compile. NOTE: through the axon relay,
     # block_until_ready can return before execution completes, so all
     # timing below forces completion by fetching device scalars.
     path.apply(cam, 0.0)
-    image, rays = pipeline.render(cam, frame=0, present_order=False)
+    image, rays = render_once(0)
     _ = float(image.sum()), float(rays)
 
     # Min over passes: relay throughput varies 2-5x run to run, so one
@@ -195,8 +214,7 @@ def main() -> int:
             path.apply(cam, 4.0 * f / max(frames, 1))
             # Dispatch-order radiance: checksums are order-
             # invariant; the app converts once at present time.
-            image, rays = pipeline.render(cam, frame=f + 1,
-                                          present_order=False)
+            image, rays = render_once(f + 1)
             checksums.append(image.sum())
             ray_counts.append(rays)
         # Fetch everything: forces real completion of every frame.

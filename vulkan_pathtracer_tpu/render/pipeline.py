@@ -565,16 +565,24 @@ class RenderPipeline:
         return np.asarray(image), float(rays)
 
     def render_batch_sum(self, camera: Camera, frame0: int, batch: int,
-                         joint: bool = True):
+                         joint: bool = None):
         """Sum of `batch` consecutive progressive frames in one
         dispatch.  At 1 spp the joint wavefront path is used (shared
         primary hit + cross-frame sorted bounces); multi-spp — or
         ``joint=False`` — falls back to the sequential device-side
-        scan (same radiance up to XLA reassociation)."""
+        scan (same radiance up to XLA reassociation).  ``joint=True``
+        forces the joint structure even at batch=1: a restructured
+        single frame whose per-bounce lax.map bodies each run ONE
+        traversal kernel (closest or any-hit), sidestepping the
+        mixed-kernel chunked-trace constraint render_rows lives under
+        (wavefront.uniform_stack_kernel)."""
         position, horizontal, vertical, forward = (
             jnp.asarray(v) for v in camera.push_constants()
         )
-        if joint and self.config.num_samples == 1 and batch > 1:
+        use_joint = (self.config.num_samples == 1
+                     and (batch > 1 if joint is None
+                          else (joint and batch >= 1)))
+        if use_joint:
             return render_frames_joint(
                 self.scene, position, horizontal, vertical, forward,
                 jnp.uint32(frame0),
