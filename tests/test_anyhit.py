@@ -168,6 +168,34 @@ def test_render_identical_with_anyhit_off(atrium_dev, monkeypatch):
     assert float(rays_on) == float(rays_off)
 
 
+def test_pooled_identical_with_anyhit_off(atrium_dev, monkeypatch):
+    """Pooled wavefront (frames-in-flight): any-hit last bounce on vs
+    off — tight allclose (program-shape reassociation), exact rays."""
+    import jax
+
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        trace_wavefront_pooled,
+    )
+
+    dev = atrium_dev
+    n = 3072
+    o, d = _rays(n, seed=23)
+    rng = np.random.default_rng(29)
+    sx = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    sy = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    kw = dict(num_bounces=2, traversal="pallas", sort_secondary=True,
+              chunk=1024)
+    monkeypatch.setenv("VKPT_ANYHIT", "1")
+    jax.clear_caches()
+    c_on, r_on = trace_wavefront_pooled(dev, o, d, sx, sy, **kw)
+    monkeypatch.setenv("VKPT_ANYHIT", "0")
+    jax.clear_caches()
+    c_off, r_off = trace_wavefront_pooled(dev, o, d, sx, sy, **kw)
+    np.testing.assert_allclose(np.asarray(c_on), np.asarray(c_off),
+                               rtol=1e-6, atol=1e-6)
+    assert float(r_on) == float(r_off)
+
+
 def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
                                                      monkeypatch):
     """Joint progressive batch (the convergence path): bit-identical
