@@ -972,7 +972,13 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
 
         init = (jnp.int32(0), jnp.int32(0), hit0)
         _, _, hb = jax.lax.while_loop(cond, body, init)
-        out_ref[0, 0, 0, :] = hb.reshape(-1)
+        # Proven output block shape (4, packet): the closest-hit
+        # kernels compile with it on real Mosaic; rows 1-3 are unused.
+        flat = hb.reshape(-1)
+        out_ref[0, 0, 0, :] = flat
+        out_ref[0, 0, 1, :] = flat
+        out_ref[0, 0, 2, :] = flat
+        out_ref[0, 0, 3, :] = flat
 
     return kernel
 
@@ -1142,7 +1148,13 @@ def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
 
         init = (jnp.int32(0), jnp.int32(0), hit0)
         _, _, hb = jax.lax.while_loop(cond, body, init)
-        out_ref[0, 0, 0, :] = hb.reshape(-1)
+        # Proven output block shape (4, packet): the closest-hit
+        # kernels compile with it on real Mosaic; rows 1-3 are unused.
+        flat = hb.reshape(-1)
+        out_ref[0, 0, 0, :] = flat
+        out_ref[0, 0, 1, :] = flat
+        out_ref[0, 0, 2, :] = flat
+        out_ref[0, 0, 3, :] = flat
 
     return kernel
 
@@ -1177,7 +1189,7 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
         num_scalar_prefetch=0,
         grid=(g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, packet), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
     )
@@ -1191,7 +1203,7 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, 1, 1, packet), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
@@ -1234,7 +1246,7 @@ def pallas_pair_any_hit(scene, origin, direction, active=None,
     out = _pair_anyhit(scene.bvh_pair, scene.tri_blocks, rays, inst,
                        interpret=interpret,
                        mb_bits=getattr(scene, "mb_bits", 0))
-    hit = out.reshape(g * packet)[:n] > 0.5
+    hit = out[:, 0, 0, :].reshape(g * packet)[:n] > 0.5
     if active is not None:
         hit = hit & active
     return hit
@@ -1276,7 +1288,7 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
             pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, packet), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 4, packet), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch_shapes,
     )
@@ -1288,7 +1300,7 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, 1, 1, packet), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
@@ -1329,7 +1341,7 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
 
     out = _nary_anyhit(scene.bvh_quad, scene.tri_blocks, rays,
                        interpret=interpret, hbm_leaves=hbm_leaves)
-    hitf = out.reshape(g * packet)[:n]
+    hitf = out[:, 0, 0, :].reshape(g * packet)[:n]
     hit = hitf > 0.5
     if active is not None:
         hit = hit & active
