@@ -227,3 +227,11 @@ def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
     np.testing.assert_allclose(np.asarray(c_on), np.asarray(c_off),
                                rtol=1e-6, atol=1e-6)
     assert float(r_on) == float(r_off)
+    # Sort-skip on the any-hit bounce is scheduling-only.
+    monkeypatch.setenv("VKPT_ANYHIT", "1")
+    monkeypatch.setenv("VKPT_ANYHIT_SORT", "0")
+    jax.clear_caches()
+    c_ns, r_ns = trace_progressive_batch(dev, o, d, sx, sy, **kw)
+    np.testing.assert_allclose(np.asarray(c_ns), np.asarray(c_on),
+                               rtol=1e-6, atol=1e-6)
+    assert float(r_ns) == float(r_on)
