@@ -41,6 +41,33 @@ def main() -> int:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # Bounded backend probe: a hard-down relay blocks jax.devices()
+    # for ~30 minutes (in C, so SIGALRM can't interrupt it) before
+    # raising.  Probe in a SUBPROCESS with a timeout and fail fast
+    # with an honest JSON line instead (BENCH_PROBE_S=0 disables).
+    probe_s = int(os.environ.get("BENCH_PROBE_S", 420))
+    if probe_s and not plat:
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            probe_err = (None if r.returncode == 0
+                         else (r.stderr or "probe failed").strip()[-300:])
+        except subprocess.TimeoutExpired:
+            probe_err = f"device probe timed out after {probe_s}s"
+        if probe_err:
+            print(json.dumps({
+                "metric": "mrays_per_sec_per_chip", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+                "detail": {"error":
+                           f"tpu backend unavailable: {probe_err}"},
+            }))
+            return 1
+
     from assets.procedural import make_columns
     from vulkan_pathtracer_tpu.models import gltf
     from vulkan_pathtracer_tpu.models.camera import Camera
