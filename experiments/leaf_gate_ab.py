@@ -721,6 +721,44 @@ def main():
                     ("exact C=1     ", run_sorted(1))]
         variants += [(f"chunk C={c:<4}  ", run_sorted(c))
                      for c in (8, 16, 32, 64, 128)]
+    elif which == "mxu":
+        # MXU leaf-coefficient tier (ops/mxu_mt.py; VKPT_MT=mxu,
+        # relaxed parity) vs the exact quad kernel on the same rays.
+        # chk differences quantify the relaxed-parity drift.
+        from vulkan_pathtracer_tpu.ops.mxu_mt import ensure_mt_coefs
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_quad_closest_hit,
+        )
+
+        ensure_mt_coefs(dev)
+
+        def q(pk, mt=None, prec=None, hbm=False):
+            def fn():
+                if mt:
+                    os.environ["VKPT_MT"] = mt
+                else:
+                    os.environ.pop("VKPT_MT", None)
+                if prec:
+                    os.environ["VKPT_MXU_PRECISION"] = prec
+                try:
+                    return pallas_quad_closest_hit(
+                        dev, o, d, alive, packet=pk, hbm_leaves=hbm)
+                finally:
+                    os.environ.pop("VKPT_MT", None)
+            return fn
+
+        variants = [
+            ("mxu highest pk2048 ", q(2048, "mxu", "highest")),
+            ("mxu high    pk2048 ", q(2048, "mxu", "high")),
+            ("mxu default pk2048 ", q(2048, "mxu", "default")),
+            ("mxu high    pk3072 ", q(3072, "mxu", "high")),
+            ("mxu high    pk4096 ", q(4096, "mxu", "high")),
+            ("mxu high hbm pk2048", q(2048, "mxu", "high", hbm=True)),
+        ]
+        if dev.tri_blocks.shape[1] <= 128:
+            # Exact quad kernel only exists at leaf <= 14 (scalar
+            # leaf loads need static lane indices < 128).
+            variants.insert(0, ("quad exact pk2048  ", q(2048)))
     else:
         variants = [
             ("packet pk4096  ", lambda: pallas_closest_hit(

@@ -99,6 +99,41 @@ def test_tiled_render_pallas_kernel_matches(box_dev, monkeypatch):
     assert float(rays_sharded) == float(rays_single)
 
 
+def test_tiled_render_mxu_tier_matches(box_dev, monkeypatch):
+    """The MXU leaf tier (VKPT_MT=mxu) inside shard_map: the exact
+    same zero-coverage trap round 2 hit with the packet kernel —
+    exercise the tier under the sharded render before it meets a real
+    mesh.  Replicating the scene must carry tri_coefs (a pytree array
+    field) to every device."""
+    from vulkan_pathtracer_tpu.ops.mxu_mt import ensure_mt_coefs
+
+    for env in ("VKPT_PACKET", "VKPT_PAIR_PACKET", "VKPT_QUAD_PACKET"):
+        monkeypatch.setenv(env + "_PRIMARY", "256")
+        monkeypatch.setenv(env + "_SECONDARY", "256")
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    base = ensure_mt_coefs(box_dev)
+    mesh = make_render_mesh(4)
+    dev = replicate_scene(base, mesh)
+    cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+
+    height, width = 16, 16
+    sharded = make_sharded_render(
+        mesh, dev, num_samples=1, num_bounces=2,
+        width=width, height=height, traversal="pallas",
+    )
+    img_sharded, rays_sharded = sharded(dev, pos, hor, ver, fwd,
+                                        jnp.uint32(0))
+    img_single, rays_single = render_frame(
+        base, pos, hor, ver, fwd, jnp.uint32(0),
+        num_samples=1, num_bounces=2, width=width, height=height,
+        traversal="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(img_sharded),
+                                  np.asarray(img_single))
+    assert float(rays_sharded) == float(rays_single)
+
+
 def test_rebalanced_pooled_pallas_kernel(box_dev, monkeypatch):
     """Packet kernel + per-bounce all_to_all rebalancing + psum'd
     scatter-add routing in one program (the production multi-chip

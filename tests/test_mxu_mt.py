@@ -1,0 +1,199 @@
+"""MXU leaf-intersection tier (ops/mxu_mt.py) correctness.
+
+The coefficient rearrangement (det-scaled Plucker forms) is RELAXED
+parity by design: on real hardware the matmul's bf16-pass accumulation
+can flip hits within ~ulps of a triangle edge.  In interpret mode the
+matmul is exact f32, so the remaining differences vs the exact kernels
+come only from the rearranged arithmetic — these tests therefore
+assert near-exact agreement (tiny mismatch budget on edge-grazing
+rays) plus exact agreement of the coefficient FORMULAS against the
+kernel's p/q forms in float64.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vulkan_pathtracer_tpu.models import gltf
+from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
+from vulkan_pathtracer_tpu.ops.intersect import MISS_T
+from vulkan_pathtracer_tpu.ops.mxu_mt import (
+    build_mt_coef_rows,
+    ensure_mt_coefs,
+)
+from vulkan_pathtracer_tpu.ops.pallas_pair import pallas_quad_closest_hit
+
+
+def _rays(n, seed=3):
+    rng = np.random.default_rng(seed)
+    origins = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    targets = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    d = targets - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(origins), jnp.asarray(d)
+
+
+def test_coefficient_formulas_match_exact_mt():
+    """(det, u', v', t') from the coefficient dot products == the
+    kernel's p = d x e2 / q = T x e1 forms, to float64 roundoff."""
+    rng = np.random.default_rng(0)
+    n, B = 7, 4
+    blocks = rng.normal(size=(n, B * 9)).astype(np.float32)
+    C = build_mt_coef_rows(blocks, B)
+    assert C.shape == (n, 10, 4 * B)
+
+    o = rng.normal(size=(3,))
+    d = rng.normal(size=(3,))
+    m = np.cross(o, d)
+    feats = np.concatenate([d, m, o, [1.0]])
+    got = np.einsum("k,nkc->nc", feats, C.astype(np.float64))
+
+    t = blocks.reshape(n, B, 9).astype(np.float64)
+    v0, e1, e2 = t[:, :, 0:3], t[:, :, 3:6], t[:, :, 6:9]
+    p = np.cross(d, e2)
+    det = (e1 * p).sum(-1)
+    T = o - v0
+    q = np.cross(T, e1)
+    ref = np.concatenate(
+        [det, (T * p).sum(-1), (d * q).sum(-1), (e2 * q).sum(-1)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_padded_slots_cannot_hit():
+    """Zero-edge padding triangles produce all-zero coefficient
+    columns => det == 0 => rejected by the front test."""
+    blocks = np.zeros((2, 3 * 9), np.float32)
+    blocks[0, 0:9] = [0, 0, 0, 1, 0, 0, 0, 1, 0]  # one real tri
+    C = build_mt_coef_rows(blocks, 3)
+    # Padding tri columns (k = 1, 2 of row 0; all of row 1) are zero.
+    assert not C[0][:, [1, 2, 4, 5, 7, 8, 10, 11]].any()
+    assert not C[1].any()
+
+
+@pytest.fixture(scope="module")
+def cols_mxu(request):
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_device_scene(scene, build_bvh=True)
+    return ensure_mt_coefs(dev)
+
+
+def _run_both(dev, n, seed, monkeypatch_env, hbm=False):
+    o, d = _rays(n, seed)
+    ref = pallas_quad_closest_hit(dev, o, d, interpret=True)
+    monkeypatch_env.setenv("VKPT_MT", "mxu")
+    try:
+        got = pallas_quad_closest_hit(dev, o, d, interpret=True,
+                                      hbm_leaves=hbm)
+    finally:
+        monkeypatch_env.delenv("VKPT_MT")
+    return ref, got
+
+
+def _assert_relaxed_parity(ref, got, n, max_mismatch=0.002):
+    ref_t = np.asarray(ref.t)
+    got_t = np.asarray(got.t)
+    # Hit/miss agreement (edge-grazing rays may flip: tiny budget).
+    flips = (ref_t < MISS_T) != (got_t < MISS_T)
+    assert flips.mean() <= max_mismatch, flips.mean()
+    both = (ref_t < MISS_T) & (got_t < MISS_T)
+    np.testing.assert_allclose(got_t[both], ref_t[both],
+                               rtol=2e-4, atol=2e-4)
+    same_tri = np.asarray(ref.tri)[both] == np.asarray(got.tri)[both]
+    # Different triangle with ~equal t = a shared-edge tie: allow few.
+    assert (~same_tri).mean() <= max_mismatch
+    np.testing.assert_allclose(
+        np.asarray(got.u)[both][same_tri],
+        np.asarray(ref.u)[both][same_tri], rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(got.v)[both][same_tri],
+        np.asarray(ref.v)[both][same_tri], rtol=5e-3, atol=5e-3)
+
+
+def test_quad_mxu_matches_exact(cols_mxu, monkeypatch):
+    ref, got = _run_both(cols_mxu, 1500, 3, monkeypatch)
+    _assert_relaxed_parity(ref, got, 1500)
+
+
+def test_quad_mxu_hbm_matches_vmem(cols_mxu, monkeypatch):
+    """HBM-streamed coefficient rows == VMEM-resident rows exactly
+    (same arithmetic, different staging)."""
+    o, d = _rays(900, seed=11)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    a = pallas_quad_closest_hit(cols_mxu, o, d, interpret=True)
+    b = pallas_quad_closest_hit(cols_mxu, o, d, interpret=True,
+                                hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+
+
+def test_quad_mxu_respects_active_and_seed(cols_mxu, monkeypatch):
+    """Dead lanes stay at their seeded state; alive lanes only
+    improve on the seed (the t < t_lim window honors seeds)."""
+    o, d = _rays(1024, seed=7)
+    active = jnp.asarray(np.arange(1024) % 3 != 0)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_quad_closest_hit(cols_mxu, o, d, active,
+                                  interpret=True)
+    dead = ~np.asarray(active)
+    assert (np.asarray(got.t)[dead] == MISS_T).all()
+    assert (np.asarray(got.tri)[dead] == -1).all()
+
+
+def test_quad_mxu_anyhit_matches_closest(cols_mxu, monkeypatch):
+    """Any-hit MXU mask == closest-hit MXU (t < MISS_T) up to the
+    det-scaled-vs-divided t-window rounding (tiny budget)."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_any_hit,
+    )
+
+    o, d = _rays(1500, seed=13)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    ch = pallas_quad_closest_hit(cols_mxu, o, d, interpret=True)
+    ah = pallas_quad_any_hit(cols_mxu, o, d, interpret=True)
+    flips = np.asarray(ah) != (np.asarray(ch.t) < MISS_T)
+    assert flips.mean() <= 0.002, flips.mean()
+
+
+def test_quad_mxu_anyhit_hbm_matches_vmem(cols_mxu, monkeypatch):
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_any_hit,
+    )
+
+    o, d = _rays(800, seed=19)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    a = pallas_quad_any_hit(cols_mxu, o, d, interpret=True)
+    b = pallas_quad_any_hit(cols_mxu, o, d, interpret=True,
+                            hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quad_mxu_wide_leaf_matches_xla(request, monkeypatch):
+    """Leaf blocks > 14 are MXU-tier-exclusive (the exact kernels'
+    block*9-lane rows exceed Mosaic's static-lane-index tile, but
+    4*block coefficient columns fit one lane tile up to block 32).
+    Parity anchor at block 28 is the XLA traversal, which has no
+    lane-width limit."""
+    from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=28)
+    assert dev.tri_blocks.shape[1] == 28 * 9  # exact tiers reject
+    ensure_mt_coefs(dev)
+    o, d = _rays(1200, seed=23)
+    ref = bvh_closest_hit(dev, o, d)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_quad_closest_hit(dev, o, d, interpret=True)
+    _assert_relaxed_parity(ref, got, 1200)
+
+
+def test_bake_attaches_coefs(request, monkeypatch):
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_device_scene(scene, build_bvh=True)
+    assert dev.tri_coefs is not None
+    assert dev.tri_coefs.shape[1] == 10
+    assert dev.tri_coefs.shape[2] == 4 * dev.max_leaf_size

@@ -36,6 +36,7 @@ triangles (zero edges -> det == 0 -> never hit).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -115,6 +116,9 @@ class DeviceScene:
     #   bmin.xyz, bmax.xyz, bitcast(skip), bitcast(leaf_first | -1)
     bvh_packed_tail: Optional[jnp.ndarray] = None  # (orders*Nn, 2) f32 static
     tri_blocks: Optional[jnp.ndarray] = None   # (n_leaves, block*9) f32
+    # MXU leaf-intersection coefficients (ops/mxu_mt.py; baked when
+    # VKPT_MT=mxu, or post-hoc via mxu_mt.ensure_mt_coefs).
+    tri_coefs: Optional[jnp.ndarray] = None    # (n_leaves, 10, 4*block)
     # Shading fast path: everything a hit needs in ONE row per triangle
     # (3 vertex normals, 3 tangents, 3 uvs, geometric normal, material
     # id) and one row per material (factors + texture table).
@@ -180,7 +184,7 @@ class DeviceScene:
         "bvh_bmin", "bvh_bmax", "bvh_skip", "bvh_leaf_first",
         "bvh_leaf_count", "bvh_left", "bvh_right",
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
-        "bvh_packed", "bvh_packed_tail", "tri_blocks",
+        "bvh_packed", "bvh_packed_tail", "tri_blocks", "tri_coefs",
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_pair",
         "bvh_quad", "bvh_quad_src", "bvh_quad_enc",
         "bvh_oct", "bvh_oct_src", "bvh_oct_enc", "bvh_rows",
@@ -643,6 +647,18 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
         dev.tri_blocks = jnp.asarray(
             flat.reshape(n_blocks, max_leaf_size * 9)
         )
+        if os.environ.get("VKPT_MT", "").lower() == "mxu":
+            # Bake the MXU leaf-coefficient table from the HOST copy
+            # (never read back from device during a bake — relay sync
+            # stalls; CLAUDE.md).
+            from vulkan_pathtracer_tpu.ops.mxu_mt import (
+                build_mt_coef_rows,
+            )
+
+            dev.tri_coefs = jnp.asarray(build_mt_coef_rows(
+                flat.reshape(n_blocks, max_leaf_size * 9),
+                max_leaf_size,
+            ))
 
         if octant_order and wide:
             from vulkan_pathtracer_tpu.ops.bvh_wide import build_wide_bvh

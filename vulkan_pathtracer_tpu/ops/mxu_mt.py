@@ -1,0 +1,211 @@
+"""MXU leaf intersection: Moller-Trumbore as one small matmul.
+
+The stack kernels' per-leaf-visit cost decomposes as ~126 scalar VMEM
+loads (9 per triangle x block 14, ~3-5 cycles each) plus ~55 vector
+ops per triangle on the VPU — both at a measured floor (ROADMAP:
+three latency-hiding structures lost; the triple products are 19
+irreducible MACs/triangle on the VPU).  This module moves those MACs
+to the MXU by precomputing, per triangle, the coefficients that make
+the det-scaled MT quantities LINEAR in a 10-feature ray vector
+
+    r = [d, m, o, 1],  m = o x d  (the ray's Plucker moment)
+
+so a leaf visit becomes ONE (10, 4*block) x (10, packet) matmul plus
+a short det-scaled epilogue and a cross-triangle min-reduction:
+
+    det       = d . (e2 x e1)
+    u * det   = m . e2          + d . (v0 x e2)
+    v * det   = -(m . e1)       + d . (e1 x v0)
+    t * det   = o . (e1 x e2)   - v0 . (e1 x e2)
+
+(derived by scalar-triple-product rotation from the exact kernel's
+p = d x e2, q = (o - v0) x e1 forms; verified to float64 precision in
+tests/test_mxu_mt.py).  Hit conditions are evaluated det-scaled
+(backface cull makes det > 0, so u' >= 0 <=> u >= 0 etc.); only the
+winning candidate's t/u/v are divided back.
+
+RELAXED-PARITY TIER: the rearranged arithmetic (precomputed cross
+products, MXU accumulation order, det-scaled compares under f32
+rounding) is NOT bit-exact vs the exact kernels / the XLA path /
+brute force — hits within ~1 ulp of a triangle edge or of a t-window
+boundary can flip.  It is therefore opt-in (VKPT_MT=mxu), excluded
+from the bit-exact golden contract, and tested with tolerance +
+mismatch-rate bounds instead (tests/test_mxu_mt.py).  Reference
+anchor: this accelerates the intersection the driver's RT hardware
+performs behind traceRayEXT (ray_gen.rgen:50-63); the reference never
+wrote this code, so there is no exactness contract to break upstream
+— only our internal XLA-parity one.
+
+Matmul precision (VKPT_MXU_PRECISION): TPU f32 matmuls lower to 1/3/6
+bf16 passes for DEFAULT/HIGH/HIGHEST.  Default here is HIGHEST
+(accuracy first); HIGH is the expected speed/accuracy sweet spot —
+A/B on hardware before changing the default.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128
+_BIG = np.float32(3e38)
+_KBIG = np.int32(1 << 20)
+
+
+def mxu_precision():
+    name = os.environ.get("VKPT_MXU_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+def build_mt_coef_rows(tri_blocks: np.ndarray, block: int) -> np.ndarray:
+    """(n_leaves, block*9) [v0|e1|e2 per tri] -> (n_leaves, 10,
+    4*block) f32 coefficient rows.
+
+    Column groups: [0..B) det, [B..2B) u', [2B..3B) v', [3B..4B) t'.
+    Feature rows: 0-2 multiply d, 3-5 m, 6-8 o, 9 the constant 1.
+    Cross products are taken in float64 and rounded once so the
+    precomputation adds at most 0.5 ulp on top of the matmul's own
+    rounding.  Padded (degenerate, zero-edge) triangle slots yield
+    all-zero columns => det == 0 => can never hit, matching the exact
+    kernels' guarantee (models/device_scene.py pads with zero edges).
+    """
+    n = tri_blocks.shape[0]
+    t = tri_blocks.reshape(n, block, 9).astype(np.float64)
+    v0, e1, e2 = t[:, :, 0:3], t[:, :, 3:6], t[:, :, 6:9]
+    nrm = np.cross(e1, e2)
+    C = np.zeros((n, 10, 4 * block), np.float32)
+    B = block
+
+    def put(rows, cols, val):
+        C[:, rows, cols] = val.transpose(0, 2, 1).astype(np.float32)
+
+    put(slice(0, 3), slice(0, B), np.cross(e2, e1))
+    put(slice(0, 3), slice(B, 2 * B), np.cross(v0, e2))
+    put(slice(3, 6), slice(B, 2 * B), e2)
+    put(slice(0, 3), slice(2 * B, 3 * B), np.cross(e1, v0))
+    put(slice(3, 6), slice(2 * B, 3 * B), -e1)
+    put(slice(6, 9), slice(3 * B, 4 * B), nrm)
+    C[:, 9, 3 * B:4 * B] = -(v0 * nrm).sum(-1).astype(np.float32)
+    return C
+
+
+def ensure_mt_coefs(dev):
+    """Attach tri_coefs to an already-baked DeviceScene (tests /
+    experiment harnesses).  Syncs tri_blocks to host — do NOT call
+    during a bake (relay stall; bake-time coefs come from
+    build_device_scene's host copy when VKPT_MT=mxu)."""
+    if getattr(dev, "tri_coefs", None) is None and \
+            dev.tri_blocks is not None:
+        dev.tri_coefs = jnp.asarray(build_mt_coef_rows(
+            np.asarray(dev.tri_blocks), dev.max_leaf_size))
+    return dev
+
+
+# -- kernel-side helpers (also valid outside Pallas for tests) -----------
+
+
+def flatten_rows(x):
+    """(sub, 128) -> (1, sub*128), element (s, l) -> column s*128+l.
+
+    Built from static sublane slices + a lane concat (certainly
+    supported by Mosaic) rather than jnp.reshape, whose cross-tile
+    relayout support is less predictable.
+    """
+    sub = x.shape[0]
+    if sub == 1:
+        return x
+    return jnp.concatenate([x[s:s + 1, :] for s in range(sub)], axis=1)
+
+
+def unflatten_rows(y, sub):
+    """(1, sub*128) -> (sub, 128), inverse of flatten_rows."""
+    if sub == 1:
+        return y
+    return jnp.concatenate(
+        [y[:, s * _LANE:(s + 1) * _LANE] for s in range(sub)], axis=0)
+
+
+def packet_features(ox, oy, oz, dx, dy, dz):
+    """Per-packet feature matrix F (10, P) from (sub, 128) comps.
+
+    Built once per packet (the matmul rhs for every leaf visit):
+    rows [dx, dy, dz, mx, my, mz, ox, oy, oz, 1], m = o x d.
+    """
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    rows = [dx, dy, dz, mx, my, mz, ox, oy, oz]
+    flat = [flatten_rows(r) for r in rows]
+    flat.append(jnp.ones_like(flat[0]))
+    return jnp.concatenate(flat, axis=0)
+
+
+def mt_coef_visit(coef, feats, tnear_f, tlim_f, tri_base, block,
+                  tmin, precision):
+    """One leaf visit, flat layout.
+
+    coef (10, >=4*block) f32 (trailing lane padding is zero => those
+    phantom triangles have det == 0 and never hit); feats (10, P);
+    tnear_f/tlim_f (1, P).  Returns (t (1, P) with BIG for no-hit,
+    tri (1, P) i32 block-LOCAL k + tri_base, u, v) — candidates only;
+    the caller merges against its running best (a candidate exists
+    iff t < tlim, which the hit test already enforced).
+    """
+    B = block
+    res = jax.lax.dot_general(
+        coef, feats, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    det = res[0:B]
+    up = res[B:2 * B]
+    vp = res[2 * B:3 * B]
+    tp = res[3 * B:4 * B]
+    front = det > 0.0
+    inv = 1.0 / jnp.where(front, det, 1.0)
+    t = tp * inv
+    hit = (front & (up >= 0.0) & (vp >= 0.0) & (up + vp <= det)
+           & (t > tmin) & (t >= tnear_f) & (t < tlim_f))
+    tc = jnp.where(hit, t, _BIG)
+    tbest = jnp.min(tc, axis=0, keepdims=True)
+    # First-triangle tie-break (== the exact kernels' ascending-k
+    # strict-less update order).
+    kidx = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 0)
+    ks = jnp.min(jnp.where(tc == tbest, kidx, _KBIG),
+                 axis=0, keepdims=True)
+    sel = jnp.logical_and(kidx == ks, hit)
+
+    def pick(a):
+        return jnp.sum(jnp.where(sel, a, 0.0), axis=0, keepdims=True)
+
+    u = pick(up * inv)
+    v = pick(vp * inv)
+    tri = tri_base + jnp.minimum(ks, jnp.int32(B - 1))
+    return tbest, tri, u, v
+
+
+def mt_coef_visit_anyhit(coef, feats, tnear_f, tl_f, block, tmin,
+                         precision):
+    """Any-hit leaf visit, flat layout: returns (1, P) f32 — 1.0
+    where SOME triangle accepts.  Fully det-scaled (no division at
+    all: under front, det > 0, so t-window compares multiply through
+    by det).  The scaled compares can disagree with the closest-hit
+    MXU tier's divided t by ~1 ulp on window-grazing hits — both are
+    inside the relaxed-parity budget."""
+    B = block
+    res = jax.lax.dot_general(
+        coef, feats, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    det = res[0:B]
+    up = res[B:2 * B]
+    vp = res[2 * B:3 * B]
+    tp = res[3 * B:4 * B]
+    acc = ((det > 0.0) & (up >= 0.0) & (vp >= 0.0)
+           & (up + vp <= det) & (tp > tmin * det)
+           & (tp >= tnear_f * det) & (tp < tl_f * det))
+    return jnp.max(acc.astype(jnp.float32), axis=0, keepdims=True)

@@ -262,6 +262,17 @@ def build_oct_rows_device(bmin_build, bmax_build, src, enc):
     return _build_nary_rows_device(bmin_build, bmax_build, src, enc)
 
 
+def _mxu_active(scene) -> bool:
+    """The MXU leaf tier will be taken by the quad launchers: no
+    scalar leaf loads, so tri rows wider than one lane tile (leaf
+    block > 14) are fine — the fit gates must not reject them."""
+    import os
+
+    return (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
+            and getattr(scene, "tri_coefs", None) is not None
+            and not scene.instanced)
+
+
 def quad_fits_vmem(scene, budget_bytes: int = None,
                    packet: int = None) -> bool:
     import os
@@ -269,15 +280,18 @@ def quad_fits_vmem(scene, budget_bytes: int = None,
     if budget_bytes is None:
         budget_bytes = int(os.environ.get(
             "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
-    if getattr(scene, "bvh_quad", None) is None or             scene.tri_blocks is None:
+    if getattr(scene, "bvh_quad", None) is None or \
+            scene.tri_blocks is None:
         return False
-    if scene.tri_blocks.shape[1] > _LANE:
+    mxu = _mxu_active(scene)
+    if scene.tri_blocks.shape[1] > _LANE and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
-    need = (scene.bvh_quad.shape[0] * 512
-            + scene.tri_blocks.shape[0] * 512 + state)
+    leaf_bytes = (scene.tri_coefs.shape[0] * 10 * _LANE * 4 if mxu
+                  else scene.tri_blocks.shape[0] * 512)
+    need = (scene.bvh_quad.shape[0] * 512 + leaf_bytes + state)
     return need < budget_bytes
 
 
@@ -294,13 +308,15 @@ def _nary_hbm_fits(scene, table_attr: str, budget_bytes=None,
     table = getattr(scene, table_attr, None)
     if table is None or scene.tri_blocks is None:
         return False
-    if scene.tri_blocks.shape[1] > _LANE:
+    mxu = table_attr == "bvh_quad" and _mxu_active(scene)
+    if scene.tri_blocks.shape[1] > _LANE and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     width = table.shape[1] // 8
-    need = table.shape[0] * 512 + width * 512 + state
+    slot_bytes = width * (10 * _LANE * 4 if mxu else 512)
+    need = table.shape[0] * 512 + slot_bytes + state
     return need < budget_bytes
 
 
@@ -575,8 +591,14 @@ _SORT_NETS = {
 
 def _make_nary_kernel(n_rows: int, block: int, packet: int,
                       tmin: float, width: int,
-                      hbm_leaves: bool = False):
+                      hbm_leaves: bool = False,
+                      mxu_precision=None):
+    """``mxu_precision`` non-None switches the leaf phase to the MXU
+    coefficient-matmul tier (ops/mxu_mt.py — RELAXED parity):
+    tris_ref then holds (n_leaves, 10, >=4*block) coefficient rows
+    instead of (n_leaves, block*9) vertex rows."""
     sub = packet // _LANE
+    mxu = mxu_precision is not None
 
     def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
                *rest):
@@ -654,6 +676,45 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                 u_best = jnp.where(hit, u, u_best)
                 v_best = jnp.where(hit, v, v_best)
             return t_best, tri_best, u_best, v_best
+
+        if mxu:
+            from vulkan_pathtracer_tpu.ops import mxu_mt
+
+            # Matmul rhs + flat per-ray rows, built ONCE per packet.
+            feats = mxu_mt.packet_features(ox, oy, oz, dx, dy, dz)
+            tnear_f = mxu_mt.flatten_rows(tnear)
+
+            def mt_block_mxu(row, args, slot=0):
+                t_best, tri_best, u_best, v_best = args
+                if hbm_leaves:
+                    pltpu.make_async_copy(
+                        tris_ref.at[row],
+                        leaf_scratch.at[slot],
+                        leaf_sems.at[slot],
+                    ).wait()
+                    coef = leaf_scratch[slot]
+                else:
+                    coef = tris_ref[row]
+                tlim_f = mxu_mt.flatten_rows(jnp.minimum(t_best, tl))
+                tb, trib, ub, vb = mxu_mt.mt_coef_visit(
+                    coef, feats, tnear_f, tlim_f, row * block, block,
+                    jnp.float32(tmin), mxu_precision)
+                tb_u = mxu_mt.unflatten_rows(tb, sub)
+                # A candidate exists iff it already beat min(t_best,
+                # tl) inside the visit, so the merge predicate is just
+                # that compare again (avoids relayouting a bool row).
+                upd = tb_u < jnp.minimum(t_best, tl)
+                return (
+                    jnp.where(upd, tb_u, t_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(trib, sub),
+                              tri_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(ub, sub),
+                              u_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(vb, sub),
+                              v_best),
+                )
+
+            mt_block = mt_block_mxu
 
         def cond(state):
             return state[0] >= 0
@@ -773,7 +834,8 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
 
 def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                              tmin: float, width: int,
-                             hbm_leaves: bool = False):
+                             hbm_leaves: bool = False,
+                             mxu_precision=None):
     """ANY-HIT variant of the n-ary stack kernel: per-lane state is a
     single resolved bit instead of (t, tri, u, v).
 
@@ -791,8 +853,12 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
     where radiance needs only the sky/miss decision (the TPU analog
     of gl_RayFlagsTerminateOnFirstHitEXT shadow rays — the reference
     pays full closest-hit on its last bounce, ray_gen.rgen:50-63).
+
+    ``mxu_precision`` non-None: MXU coefficient leaf tier (RELAXED
+    parity; fully det-scaled — no divisions; see ops/mxu_mt.py).
     """
     sub = packet // _LANE
+    mxu = mxu_precision is not None
 
     def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
                *rest):
@@ -864,6 +930,31 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                        & (t < tl))
                 hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
             return hitf
+
+        if mxu:
+            from vulkan_pathtracer_tpu.ops import mxu_mt
+
+            feats = mxu_mt.packet_features(ox, oy, oz, dx, dy, dz)
+            tnear_f = mxu_mt.flatten_rows(tnear)
+            tl_f = mxu_mt.flatten_rows(tl)
+
+            def mt_block_mxu(row, hitf, slot=0):
+                if hbm_leaves:
+                    pltpu.make_async_copy(
+                        tris_ref.at[row],
+                        leaf_scratch.at[slot],
+                        leaf_sems.at[slot],
+                    ).wait()
+                    coef = leaf_scratch[slot]
+                else:
+                    coef = tris_ref[row]
+                accf = mxu_mt.mt_coef_visit_anyhit(
+                    coef, feats, tnear_f, tl_f, block,
+                    jnp.float32(tmin), mxu_precision)
+                return jnp.maximum(
+                    hitf, mxu_mt.unflatten_rows(accf, sub))
+
+            mt_block = mt_block_mxu
 
         def cond(state):
             return state[0] >= 0
@@ -1252,30 +1343,47 @@ def pallas_pair_any_hit(scene, origin, direction, active=None,
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "hbm_leaves", "mxu"))
 def _nary_anyhit(nodes, tris, rays, *, interpret=False,
-                 hbm_leaves=False):
+                 hbm_leaves=False, mxu=None):
     """Any-hit launch: same table/ray layout as _nary_traverse, output
-    is one row per packet (resolved flag, 1.0/0.0)."""
+    is one row per packet (resolved flag, 1.0/0.0).  ``mxu``: a
+    jax.lax.Precision — tris is then the coefficient table and the
+    leaf phase runs on the MXU (see _nary_traverse)."""
     n_rows, node_w = nodes.shape
     width = node_w // 8
-    n_leaves, row_w = tris.shape
-    block = row_w // 9
+    if mxu:
+        n_leaves, ten, cw = tris.shape
+        block = cw // 4
+        if cw % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, 0),
+                                  (0, _LANE - cw % _LANE)))
+        row_w = tris.shape[2]
+        leaf_row_bytes = 10 * row_w * 4
+    else:
+        n_leaves, row_w = tris.shape
+        block = row_w // 9
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
-        if row_w % _LANE:
+        if not mxu and row_w % _LANE:
             tris = jnp.pad(tris, ((0, 0), (0, _LANE - row_w % _LANE)))
             row_w = tris.shape[1]
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    elif mxu:
+        tri_spec = pl.BlockSpec((n_leaves, 10, row_w),
+                                lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     scratch_shapes = [
         pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
     if hbm_leaves:
+        slot_shape = (width, 10, row_w) if mxu else (width, row_w)
         scratch_shapes += [
-            pltpu.VMEM((width, row_w), jnp.float32),
+            pltpu.VMEM(slot_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((width,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1293,8 +1401,10 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
         scratch_shapes=scratch_shapes,
     )
     kernel = _make_nary_anyhit_kernel(n_rows, block, packet, TMIN,
-                                      width, hbm_leaves=hbm_leaves)
-    leaf_resident = 0 if hbm_leaves else n_leaves * 512
+                                      width, hbm_leaves=hbm_leaves,
+                                      mxu_precision=mxu)
+    leaf_row_cost = leaf_row_bytes if mxu else 512
+    leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
@@ -1312,10 +1422,26 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
                         hbm_leaves: bool = False) -> jnp.ndarray:
     """Any-hit (occlusion) query via the 4-wide stack kernel: returns
     a (N,) bool — True iff the closest-hit kernel would report a hit
-    (t < MISS_T) for that lane.  Inactive lanes return False."""
+    (t < MISS_T) for that lane.  Inactive lanes return False.
+
+    VKPT_MT=mxu + baked scene.tri_coefs: MXU coefficient leaf tier
+    (relaxed parity; see pallas_quad_closest_hit)."""
     n = origin.shape[0]
     if packet is None:
         packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
+    mxu = None
+    if (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
+            and getattr(scene, "tri_coefs", None) is not None
+            and not scene.instanced):
+        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
+
+        mxu = mxu_precision()
+    if mxu and not hbm_leaves:
+        coef_bytes = scene.tri_coefs.shape[0] * 10 * _LANE * 4
+        node_bytes = scene.bvh_quad.shape[0] * 512
+        budget = int(os.environ.get("VKPT_VMEM_BUDGET",
+                                    100 * 1024 * 1024))
+        hbm_leaves = coef_bytes + node_bytes + 8 * 1024 * 1024 > budget
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
@@ -1339,8 +1465,10 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
         axis=0,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
-    out = _nary_anyhit(scene.bvh_quad, scene.tri_blocks, rays,
-                       interpret=interpret, hbm_leaves=hbm_leaves)
+    tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    out = _nary_anyhit(scene.bvh_quad, tri_table, rays,
+                       interpret=interpret, hbm_leaves=hbm_leaves,
+                       mxu=mxu)
     hitf = out[:, 0, 0, :].reshape(g * packet)[:n]
     hit = hitf > 0.5
     if active is not None:
@@ -1348,22 +1476,41 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "hbm_leaves"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "hbm_leaves", "mxu"))
 def _nary_traverse(nodes, tris, rays, *, interpret=False,
-                   hbm_leaves=False):
+                   hbm_leaves=False, mxu=None):
     """nodes: (Nw, 8*width) f32 (width inferred from the row width);
     tris: (n_leaves, block*9); rays: (G, 1, 12, PACKET).  Returns
     (G, 1, 4, PACKET).  ``hbm_leaves``: keep the leaf table in HBM
     and DMA visited rows into a width-slot VMEM scratch — lifts the
-    stack-kernel scene ceiling past the VMEM leaf-table limit."""
+    stack-kernel scene ceiling past the VMEM leaf-table limit.
+    ``mxu``: a jax.lax.Precision — tris is then the (n_leaves, 10,
+    4*block) coefficient table and the leaf phase runs on the MXU at
+    that matmul precision (ops/mxu_mt.py; RELAXED parity, opt-in via
+    VKPT_MT=mxu).  Passed as a static arg (not read from env here) so
+    precision A/Bs retrace."""
     n_rows, node_w = nodes.shape
     width = node_w // 8
-    n_leaves, row_w = tris.shape
-    block = row_w // 9
+    mxu_precision = mxu
+    if mxu:
+        n_leaves, ten, cw = tris.shape
+        block = cw // 4
+        if cw % _LANE:
+            # Lane-align the coefficient rows once per call: required
+            # for HBM DMA slices, and the natural (zero-coefficient =>
+            # det 0, unhittable) padding for the matmul either way.
+            tris = jnp.pad(tris, ((0, 0), (0, 0),
+                                  (0, _LANE - cw % _LANE)))
+        row_w = tris.shape[2]
+        leaf_row_bytes = 10 * row_w * 4
+    else:
+        n_leaves, row_w = tris.shape
+        block = row_w // 9
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
-        if row_w % _LANE:
+        if not mxu and row_w % _LANE:
             # Mosaic requires HBM DMA slices lane-aligned to 128
             # ("Slice shape along dimension 1 must be aligned to
             # tiling"); pad the table once per call — one XLA pad op
@@ -1372,14 +1519,19 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
             tris = jnp.pad(tris, ((0, 0), (0, _LANE - row_w % _LANE)))
             row_w = tris.shape[1]
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    elif mxu:
+        tri_spec = pl.BlockSpec((n_leaves, 10, row_w),
+                                lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     scratch_shapes = [
         pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
     if hbm_leaves:
+        slot_shape = (width, 10, row_w) if mxu else (width, row_w)
         scratch_shapes += [
-            pltpu.VMEM((width, row_w), jnp.float32),
+            pltpu.VMEM(slot_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((width,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1397,8 +1549,10 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
         scratch_shapes=scratch_shapes,
     )
     kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width,
-                               hbm_leaves=hbm_leaves)
-    leaf_resident = 0 if hbm_leaves else n_leaves * 512
+                               hbm_leaves=hbm_leaves,
+                               mxu_precision=mxu_precision)
+    leaf_row_cost = leaf_row_bytes if mxu else 512
+    leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
@@ -1415,12 +1569,31 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
                             interpret=False, seed=None,
                             packet: int = None,
                             hbm_leaves: bool = False) -> Hit:
-    """Closest hit via the 4-wide pair-stack kernel (bvh_quad)."""
+    """Closest hit via the 4-wide pair-stack kernel (bvh_quad).
+
+    VKPT_MT=mxu + a baked ``scene.tri_coefs`` switch the leaf phase
+    to the MXU coefficient tier (ops/mxu_mt.py; RELAXED parity,
+    non-instanced scenes only).  The 10x-wider coefficient rows are
+    auto-promoted to HBM streaming when they no longer fit VMEM.
+    """
     from vulkan_pathtracer_tpu.ops.pallas_traverse import _seed_channels
 
     n = origin.shape[0]
     if packet is None:
         packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
+    mxu = None
+    if (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
+            and getattr(scene, "tri_coefs", None) is not None
+            and not scene.instanced):
+        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
+
+        mxu = mxu_precision()
+    if mxu and not hbm_leaves:
+        coef_bytes = scene.tri_coefs.shape[0] * 10 * _LANE * 4
+        node_bytes = scene.bvh_quad.shape[0] * 512
+        budget = int(os.environ.get("VKPT_VMEM_BUDGET",
+                                    100 * 1024 * 1024))
+        hbm_leaves = coef_bytes + node_bytes + 8 * 1024 * 1024 > budget
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
@@ -1448,8 +1621,10 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
         axis=0,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
-    out = _nary_traverse(scene.bvh_quad, scene.tri_blocks, rays,
-                         interpret=interpret, hbm_leaves=hbm_leaves)
+    tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    out = _nary_traverse(scene.bvh_quad, tri_table, rays,
+                         interpret=interpret, hbm_leaves=hbm_leaves,
+                         mxu=mxu)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
