@@ -190,6 +190,68 @@ def test_quad_mxu_wide_leaf_matches_xla(request, monkeypatch):
     _assert_relaxed_parity(ref, got, 1200)
 
 
+def test_device_coef_builder_matches_host():
+    """build_mt_coef_rows_device (jnp, used by on-device rebuilds)
+    == the host builder up to its float64-vs-f32 cross products."""
+    from vulkan_pathtracer_tpu.ops.mxu_mt import (
+        build_mt_coef_rows_device,
+    )
+
+    rng = np.random.default_rng(4)
+    n, B = 6, 4
+    blocks = rng.normal(size=(n, B * 9)).astype(np.float32)
+    host = build_mt_coef_rows(blocks, B)
+    t = blocks.reshape(n * B, 9)
+    dev = build_mt_coef_rows_device(
+        jnp.asarray(t[:, 0:3]), jnp.asarray(t[:, 3:6]),
+        jnp.asarray(t[:, 6:9]), B)
+    np.testing.assert_allclose(np.asarray(dev), host,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_deforming_rebuild_regenerates_coefs(request, monkeypatch):
+    """A device rebuild must not leave stale MXU coefficients.  The
+    stale-coef failure mode is the MXU tier intersecting the OLD
+    triangles, so the property is: on the REBUILT (deformed) scene,
+    MXU == the exact quad kernel (which reads the fresh tri_blocks)
+    within the tier's usual tolerance — while differing wildly from
+    the exact kernel on the pre-deform scene."""
+    from vulkan_pathtracer_tpu.ops.device_build import (
+        device_rebuild_scene,
+    )
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    template = ensure_mt_coefs(
+        build_device_scene(scene, build_bvh=True))
+
+    def warp(p):
+        ang = 0.25 * p[:, 1:2]
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        x = ca[:, 0] * p[:, 0] - sa[:, 0] * p[:, 2]
+        z = sa[:, 0] * p[:, 0] + ca[:, 0] * p[:, 2]
+        return jnp.stack([x, p[:, 1], z], axis=1)
+
+    v0, e1, e2 = template.tri_v0, template.tri_e1, template.tri_e2
+    w0 = warp(v0)
+    we1 = warp(v0 + e1) - w0
+    we2 = warp(v0 + e2) - w0
+    gn = jnp.cross(we1, we2)
+    rebuilt = device_rebuild_scene(template, w0, we1, we2, gn,
+                                   template.tri_attr)
+    assert rebuilt.tri_coefs is not None
+
+    o, d = _rays(800, seed=31)
+    ref = pallas_quad_closest_hit(rebuilt, o, d, interpret=True)
+    old = pallas_quad_closest_hit(template, o, d, interpret=True)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_quad_closest_hit(rebuilt, o, d, interpret=True)
+    _assert_relaxed_parity(ref, got, 800)
+    # Sanity: the deformation actually changed the answer (a stale-
+    # coef bug could not pass _assert_relaxed_parity by accident).
+    changed = (np.asarray(old.t) != np.asarray(ref.t)).mean()
+    assert changed > 0.1, changed
+
+
 def test_bake_attaches_coefs(request, monkeypatch):
     monkeypatch.setenv("VKPT_MT", "mxu")
     scene = gltf.load(request.getfixturevalue("columns_glb"))

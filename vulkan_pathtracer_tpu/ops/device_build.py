@@ -50,6 +50,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vulkan_pathtracer_tpu.ops.mxu_mt import (
+    build_mt_coef_rows_device as _coefs_device,
+)
+
 BIG = np.float32(3e38)
 
 
@@ -442,6 +446,12 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
         bvh_rows=rows,
         bvh_pair=pair,
         tri_blocks=flat.reshape(n_slots // block, block * 9),
+        # Rebuilt geometry invalidates the MXU leaf coefficients —
+        # regenerate on device iff the template carried them (stale
+        # coefs would silently intersect the OLD triangles).
+        tri_coefs=(_coefs_device(
+            built["tri_v0"], built["tri_e1"], built["tri_e2"], block)
+            if template.tri_coefs is not None else None),
         bvh_wide_nodes=None,
         bvh_depth=built["depth"],
         bvh_orders=octants,

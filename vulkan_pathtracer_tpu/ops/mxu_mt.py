@@ -96,6 +96,29 @@ def build_mt_coef_rows(tri_blocks: np.ndarray, block: int) -> np.ndarray:
     return C
 
 
+def build_mt_coef_rows_device(tri_v0, tri_e1, tri_e2, block):
+    """jnp twin of build_mt_coef_rows for on-device scene rebuilds
+    (ops/device_build.device_rebuild_scene): inputs are the padded
+    per-slot (n_slots, 3) arrays (n_slots % block == 0, degenerate
+    zero-edge padding slots).  f32 cross products (no float64 on
+    TPU) — one extra rounding vs the host builder's float64 path,
+    inside the tier's relaxed-parity budget either way."""
+    n = tri_v0.shape[0]
+    z = jnp.zeros((n, 3), jnp.float32)
+    nrm = jnp.cross(tri_e1, tri_e2)
+    rows012 = jnp.stack(
+        [jnp.cross(tri_e2, tri_e1), jnp.cross(tri_v0, tri_e2),
+         jnp.cross(tri_e1, tri_v0), z], axis=2)        # (n, 3, 4)
+    rows345 = jnp.stack([z, tri_e2, -tri_e1, z], axis=2)
+    rows678 = jnp.stack([z, z, z, nrm], axis=2)
+    zc = jnp.zeros((n,), jnp.float32)
+    row9 = jnp.stack(
+        [zc, zc, zc, -(tri_v0 * nrm).sum(-1)], axis=1)[:, None, :]
+    C = jnp.concatenate([rows012, rows345, rows678, row9], axis=1)
+    C = C.reshape(n // block, block, 10, 4).transpose(0, 2, 3, 1)
+    return C.reshape(n // block, 10, 4 * block)
+
+
 def ensure_mt_coefs(dev):
     """Attach tri_coefs to an already-baked DeviceScene (tests /
     experiment harnesses).  Syncs tri_blocks to host — do NOT call
