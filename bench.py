@@ -270,6 +270,9 @@ def main() -> int:
             # Relay noise spans 2-5x; the spread shows how far the
             # min (the reported chip number) sits from a typical pass.
             "pass_seconds": pass_times,
+            # Kernel-config provenance so BENCH_r*.json self-describes.
+            "mt": os.environ.get("VKPT_MT", "exact"),
+            "leaf": int(dev.max_leaf_size),
         },
     }
 
