@@ -252,6 +252,27 @@ def test_deforming_rebuild_regenerates_coefs(request, monkeypatch):
     assert changed > 0.1, changed
 
 
+def test_instanced_scene_ignores_mxu_env(request, monkeypatch):
+    """Two-level scenes have no object-space coefficient path: with
+    VKPT_MT=mxu set they must silently keep the exact kernels (and
+    produce identical results), never crash or go stale."""
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_instanced_scene(scene)
+    assert dev.instanced
+    o, d = _rays(600, seed=41)
+    ref = pallas_pair_closest_hit(dev, o, d, interpret=True)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_pair_closest_hit(dev, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+
+
 def test_bake_attaches_coefs(request, monkeypatch):
     monkeypatch.setenv("VKPT_MT", "mxu")
     scene = gltf.load(request.getfixturevalue("columns_glb"))
