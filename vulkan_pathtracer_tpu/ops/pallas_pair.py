@@ -1405,7 +1405,10 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
                                       mxu_precision=mxu)
     leaf_row_cost = leaf_row_bytes if mxu else 512
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
-    need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
+    # The MXU tier materializes a (4*block->128, packet) matmul result
+    # (+ det-scaled slices) per leaf visit — budget extra scratch.
+    margin = (12 if mxu else 4) * 1024 * 1024
+    need = n_rows * 512 + leaf_resident + margin
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -1553,7 +1556,10 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
                                mxu_precision=mxu_precision)
     leaf_row_cost = leaf_row_bytes if mxu else 512
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
-    need = n_rows * 512 + leaf_resident + 4 * 1024 * 1024
+    # The MXU tier materializes a (4*block->128, packet) matmul result
+    # (+ det-scaled slices) per leaf visit — budget extra scratch.
+    margin = (12 if mxu else 4) * 1024 * 1024
+    need = n_rows * 512 + leaf_resident + margin
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
