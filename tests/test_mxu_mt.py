@@ -273,6 +273,47 @@ def test_instanced_scene_ignores_mxu_env(request, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
 
 
+def test_chunked_render_mxu(request, monkeypatch):
+    """The headline program shape: quad MXU kernel inside a chunked
+    lax.map trace (render_rows pins chunked traces to one stack-kernel
+    family).  Chunked == unchunked under the tier (same tight band the
+    exact kernels hold — ROADMAP finding 7: chunking reassociates),
+    and MXU tracks the exact render loosely."""
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.render.pipeline import render_rows
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        uniform_stack_kernel,
+    )
+
+    for env in ("VKPT_PACKET", "VKPT_PAIR_PACKET", "VKPT_QUAD_PACKET"):
+        monkeypatch.setenv(env + "_PRIMARY", "256")
+        monkeypatch.setenv(env + "_SECONDARY", "256")
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = ensure_mt_coefs(build_device_scene(scene, build_bvh=True))
+    cam = Camera(aspect_ratio=1.0,
+                 position=np.array([0, 2, -8], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+    kw = dict(num_samples=1, num_bounces=2, width=48, height=48,
+              traversal="pallas", sort_secondary=True)
+
+    with uniform_stack_kernel("quad"):
+        exact, _ = render_rows(dev, pos, hor, ver, fwd, jnp.uint32(3),
+                               ray_chunk=0, **kw)
+        monkeypatch.setenv("VKPT_MT", "mxu")
+        base, rays_base = render_rows(dev, pos, hor, ver, fwd,
+                                      jnp.uint32(3), ray_chunk=0, **kw)
+    monkeypatch.setenv("VKPT_CHUNK_KERNEL", "quad")
+    img, rays = render_rows(dev, pos, hor, ver, fwd, jnp.uint32(3),
+                            ray_chunk=576, **kw)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+    assert float(rays) == float(rays_base)
+    # Relaxed parity at the image level: radiance only moves where a
+    # hit flipped; the columns view has none at this camera.
+    np.testing.assert_allclose(np.asarray(base), np.asarray(exact),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_bake_attaches_coefs(request, monkeypatch):
     monkeypatch.setenv("VKPT_MT", "mxu")
     scene = gltf.load(request.getfixturevalue("columns_glb"))
