@@ -99,7 +99,7 @@ def test_tiled_render_pallas_kernel_matches(box_dev, monkeypatch):
     assert float(rays_sharded) == float(rays_single)
 
 
-def test_tiled_render_mxu_tier_matches(box_dev, monkeypatch):
+def test_tiled_render_mxu_tier_matches(request, monkeypatch):
     """The MXU leaf tier (VKPT_MT=mxu) inside shard_map: the exact
     same zero-coverage trap round 2 hit with the packet kernel —
     exercise the tier under the sharded render before it meets a real
@@ -111,7 +111,10 @@ def test_tiled_render_mxu_tier_matches(box_dev, monkeypatch):
         monkeypatch.setenv(env + "_PRIMARY", "256")
         monkeypatch.setenv(env + "_SECONDARY", "256")
     monkeypatch.setenv("VKPT_MT", "mxu")
-    base = ensure_mt_coefs(box_dev)
+    # Fresh scene: ensure_mt_coefs attaches in place, and mutating the
+    # module-scoped box_dev would leak tri_coefs into other tests.
+    base = ensure_mt_coefs(build_device_scene(
+        gltf.load(request.getfixturevalue("box_glb")), build_bvh=True))
     mesh = make_render_mesh(4)
     dev = replicate_scene(base, mesh)
     cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))

@@ -387,6 +387,8 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
 
     from vulkan_pathtracer_tpu.ops.pallas_pair import (
         build_pair_rows_device,
+        build_quad_rows_device,
+        nary_maps_device,
     )
 
     # Pair-stack table over the Karras build order (root = internal
@@ -399,10 +401,22 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
     bmin_build = bmin_build.at[perm0].set(built["bmin"][:n_nodes])
     bmax_build = bmax_build.at[perm0].set(built["bmax"][:n_nodes])
     ni = max(n_build - (n_build + 1) // 2, 1)
-    pair = build_pair_rows_device(
-        bmin_build, bmax_build, built["left"], built["right"],
-        built["leaf_first_build"], block,
-    )[:ni] if n_build > 1 else None
+    pair = quad = qsrc = qenc = None
+    if n_build > 1:
+        pair = build_pair_rows_device(
+            bmin_build, bmax_build, built["left"], built["right"],
+            built["leaf_first_build"], block,
+        )[:ni]
+        # Quad table + its refit maps from the SAME Karras topology —
+        # the template's host-built quad/oct tables describe the
+        # pre-rebuild tree and would silently traverse stale geometry
+        # (the dispatcher prefers quad on secondaries).
+        qsrc, qenc = nary_maps_device(
+            built["left"], built["right"], built["leaf_first_build"],
+            block, 4)
+        qsrc, qenc = qsrc[:ni], qenc[:ni]
+        quad = build_quad_rows_device(bmin_build, bmax_build,
+                                      qsrc, qenc)
 
     tail = jnp.stack(
         [jax.lax.bitcast_convert_type(built["skip_local"], jnp.float32),
@@ -445,6 +459,14 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
         bvh_packed_tail=tail,
         bvh_rows=rows,
         bvh_pair=pair,
+        bvh_quad=quad,
+        bvh_quad_src=qsrc,
+        bvh_quad_enc=qenc,
+        # No device oct collapse: null the stale host tables so the
+        # oct tiers simply don't dispatch on a rebuilt scene.
+        bvh_oct=None,
+        bvh_oct_src=None,
+        bvh_oct_enc=None,
         tri_blocks=flat.reshape(n_slots // block, block * 9),
         # Rebuilt geometry invalidates the MXU leaf coefficients —
         # regenerate on device iff the template carried them (stale

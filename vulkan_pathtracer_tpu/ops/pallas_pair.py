@@ -236,6 +236,49 @@ def oct_static_maps(bvh, block: int):
     return _nary_static_maps(bvh, block, 8)
 
 
+def nary_maps_device(left, right, leaf_first, block: int,
+                     width: int = 4):
+    """Dynamic (src, enc) collapse maps over BUILD-order arrays — the
+    device twin of _nary_static_maps for on-device Karras rebuilds,
+    whose topology changes every frame (the host maps, and any n-ary
+    table built from them, are stale the moment device_rebuild_scene
+    runs).  One row per node, internals compacted to the front by
+    rank (root = node 0 = row 0); callers slice [:Ni].  Over-allocates
+    ~2x vs the host DFS collapse — rows not reachable by grandchild
+    links are dead weight the traversal never visits — and pads
+    early-leaf branches with EMPTY slots (src -1 -> NaN box, enc -1)
+    instead of compacting them, both harmless by the same NaN-slab
+    argument as _build_nary_rows."""
+    levels = width.bit_length() - 1
+    internal = left >= 0
+    row_of = jnp.cumsum(internal.astype(jnp.int32)) - 1
+
+    def expand(slots):
+        out = []
+        for s in slots:
+            sv = jnp.maximum(s, 0)
+            s_int = jnp.logical_and(s >= 0, jnp.take(internal, sv))
+            out.append(jnp.where(s_int, jnp.take(left, sv), s))
+            out.append(jnp.where(s_int, jnp.take(right, sv),
+                                 jnp.int32(-1)))
+        return out
+
+    slots = [left, right]
+    for _ in range(levels - 1):
+        slots = expand(slots)
+    src = jnp.stack(slots, axis=1)
+    sv = jnp.maximum(src, 0)
+    s_int = jnp.logical_and(src >= 0, jnp.take(internal, sv))
+    row = jnp.take(row_of, sv).astype(jnp.float32)
+    leaf_val = -(jnp.take(leaf_first, sv) // block
+                 + 1).astype(jnp.float32)
+    enc = jnp.where(src < 0, jnp.float32(-1.0),
+                    jnp.where(s_int, row, leaf_val))
+    order = jnp.argsort(jnp.logical_not(internal), stable=True)
+    return (jnp.take(src, order, axis=0),
+            jnp.take(enc, order, axis=0))
+
+
 def _build_nary_rows_device(bmin_build, bmax_build, src, enc):
     """Regenerate (Nw, 8w) n-ary rows from refitted BUILD-order boxes
     through the static (src, enc) maps (width inferred from src)."""
@@ -273,6 +316,37 @@ def _mxu_active(scene) -> bool:
             and not scene.instanced)
 
 
+def _coef_row_bytes(scene) -> int:
+    """VMEM bytes of ONE lane-padded coefficient row: 10 sublanes x
+    ceil(4*block / 128) lane tiles (block > 32 spills into a second
+    tile — the budget must track the PADDED width, not assume one)."""
+    cw = scene.tri_coefs.shape[2]
+    return 10 * (-(-cw // _LANE) * _LANE) * 4
+
+
+def _mxu_dispatch(scene, hbm_leaves):
+    """Resolve the VKPT_MT env gate for the quad launchers: returns
+    (precision | None, hbm_leaves), auto-promoting to HBM-streamed
+    coefficient rows when the table would overflow the VMEM budget.
+    The single source of truth for activation + promotion (the fit
+    gates and both launchers must agree or the dispatcher could pick
+    a tier the launcher then re-routes)."""
+    import os
+
+    if not _mxu_active(scene):
+        return None, hbm_leaves
+    from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
+
+    if not hbm_leaves:
+        budget = int(os.environ.get("VKPT_VMEM_BUDGET",
+                                    100 * 1024 * 1024))
+        coef_bytes = scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
+        node_bytes = scene.bvh_quad.shape[0] * 512
+        hbm_leaves = (coef_bytes + node_bytes
+                      + 8 * 1024 * 1024 > budget)
+    return mxu_precision(), hbm_leaves
+
+
 def quad_fits_vmem(scene, budget_bytes: int = None,
                    packet: int = None) -> bool:
     import os
@@ -289,8 +363,8 @@ def quad_fits_vmem(scene, budget_bytes: int = None,
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
-    leaf_bytes = (scene.tri_coefs.shape[0] * 10 * _LANE * 4 if mxu
-                  else scene.tri_blocks.shape[0] * 512)
+    leaf_bytes = (scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
+                  if mxu else scene.tri_blocks.shape[0] * 512)
     need = (scene.bvh_quad.shape[0] * 512 + leaf_bytes + state)
     return need < budget_bytes
 
@@ -315,7 +389,7 @@ def _nary_hbm_fits(scene, table_attr: str, budget_bytes=None,
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     width = table.shape[1] // 8
-    slot_bytes = width * (10 * _LANE * 4 if mxu else 512)
+    slot_bytes = width * (_coef_row_bytes(scene) if mxu else 512)
     need = table.shape[0] * 512 + slot_bytes + state
     return need < budget_bytes
 
@@ -1432,19 +1506,7 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
     n = origin.shape[0]
     if packet is None:
         packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
-    mxu = None
-    if (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
-            and getattr(scene, "tri_coefs", None) is not None
-            and not scene.instanced):
-        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
-
-        mxu = mxu_precision()
-    if mxu and not hbm_leaves:
-        coef_bytes = scene.tri_coefs.shape[0] * 10 * _LANE * 4
-        node_bytes = scene.bvh_quad.shape[0] * 512
-        budget = int(os.environ.get("VKPT_VMEM_BUDGET",
-                                    100 * 1024 * 1024))
-        hbm_leaves = coef_bytes + node_bytes + 8 * 1024 * 1024 > budget
+    mxu, hbm_leaves = _mxu_dispatch(scene, hbm_leaves)
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
@@ -1587,19 +1649,7 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
     n = origin.shape[0]
     if packet is None:
         packet = int(os.environ.get("VKPT_QUAD_PACKET", "3072"))
-    mxu = None
-    if (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
-            and getattr(scene, "tri_coefs", None) is not None
-            and not scene.instanced):
-        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
-
-        mxu = mxu_precision()
-    if mxu and not hbm_leaves:
-        coef_bytes = scene.tri_coefs.shape[0] * 10 * _LANE * 4
-        node_bytes = scene.bvh_quad.shape[0] * 512
-        budget = int(os.environ.get("VKPT_VMEM_BUDGET",
-                                    100 * 1024 * 1024))
-        hbm_leaves = coef_bytes + node_bytes + 8 * 1024 * 1024 > budget
+    mxu, hbm_leaves = _mxu_dispatch(scene, hbm_leaves)
     t_lane = jnp.full((n,), jnp.float32(TMAX))
     if active is not None:
         t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
