@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-3 TPU measurement plan — run when the relay recovers.
+# Ordered by decision value: the MXU/leaf-28 steps decide whether the
+# round's bench defaults flip; the any-hit/backlog ABs are evidence.
+cd /root/repo
+L=/tmp/tpu_plan.log
+echo "=== plan start $(date -u +%H:%M:%S) ===" >> $L
+
+step() { echo "--- $1 ($(date -u +%H:%M:%S)) ---" >> $L; }
+
+step sanity
+timeout 600 python -c "
+import jax; jax.config.update('jax_compilation_cache_dir','/tmp/vkpt_jax_cache')
+import jax.numpy as jnp
+print('TPU-OK', float(jnp.arange(8.0).sum()))" >> $L 2>&1 || { echo 'SANITY FAILED' >> $L; exit 1; }
+
+step headline-default
+timeout 2400 python bench.py >> $L 2>&1
+
+step mxu-smoke
+timeout 1200 python experiments/mxu_smoke.py >> $L 2>&1
+timeout 1200 env AB_LEAF=28 python experiments/mxu_smoke.py >> $L 2>&1
+
+step mxu-isolated-AB
+VARIANTS=mxu AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
+step mxu-isolated-AB-leaf28
+VARIANTS=mxu AB_LEAF=28 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
+step headline-mxu-high
+VKPT_MT=mxu VKPT_MXU_PRECISION=high timeout 2400 python bench.py >> $L 2>&1
+
+step headline-mxu-high-leaf28
+VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 timeout 2400 python bench.py >> $L 2>&1
+
+step spp-mxu-leaf28
+VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 BENCH_MODE=spp BENCH_TARGET_SPP=128 timeout 3000 python bench.py >> $L 2>&1
+
+step spp-convergence-128
+BENCH_MODE=spp BENCH_TARGET_SPP=128 timeout 3000 python bench.py >> $L 2>&1
+
+step anyhit-isolated-AB
+VARIANTS=anyhit AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
+step headline-joint-AB
+BENCH_HEADLINE=joint timeout 2400 python bench.py >> $L 2>&1
+
+step headline-joint-mxu-leaf28
+BENCH_HEADLINE=joint VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 timeout 2400 python bench.py >> $L 2>&1
+
+step spp-anyhit-off-AB
+VKPT_ANYHIT=0 BENCH_MODE=spp BENCH_TARGET_SPP=64 timeout 2400 python bench.py >> $L 2>&1
+
+step spp-anyhit-nosort-AB
+VKPT_ANYHIT_SORT=0 BENCH_MODE=spp BENCH_TARGET_SPP=64 timeout 2400 python bench.py >> $L 2>&1
+
+echo "=== plan done $(date -u +%H:%M:%S) ===" >> $L
