@@ -55,3 +55,18 @@ step spp-anyhit-nosort-AB
 VKPT_ANYHIT_SORT=0 BENCH_MODE=spp BENCH_TARGET_SPP=64 timeout 2400 python bench.py >> $L 2>&1
 
 echo "=== plan done $(date -u +%H:%M:%S) ===" >> $L
+
+step config1-textured-512-4spp
+python - <<'PY'
+import sys; sys.path.insert(0, '.')
+from assets.procedural import make_textured_sphere, make_cornell
+make_textured_sphere('/tmp/plan_sphere.glb')
+make_cornell('/tmp/plan_cornell.glb')
+PY
+timeout 1800 python -m vulkan_pathtracer_tpu -s /tmp/plan_sphere.glb -x 512 -y 512 -c 4 --frames 6 -o /tmp/plan_c1.png >> $L 2>&1
+VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 timeout 1800 python -m vulkan_pathtracer_tpu -s /tmp/plan_sphere.glb -x 512 -y 512 -c 4 --frames 6 -o /tmp/plan_c1m.png >> $L 2>&1
+
+step config3-cornell-8b-rr
+timeout 1800 python -m vulkan_pathtracer_tpu -s /tmp/plan_cornell.glb -x 512 -y 512 -c 4 -b 8 --russian-roulette --frames 6 -o /tmp/plan_c3.png >> $L 2>&1
+
+echo "=== appended config steps done $(date -u +%H:%M:%S) ===" >> $L
