@@ -51,6 +51,18 @@ GOLDEN_CONFIGS = {
         camera=dict(position=(0.0, 0.0, -3.0), yaw=0.0, pitch=0.0),
         frame=0,
     ),
+    # config[1] close-up: the sphere fills the frame so the pinned
+    # image is dominated by the checker base-color x factor product,
+    # the metal-rough texture's BRDF lobes, and the normal-map TBN
+    # perturbation (material.glsl:31-68 semantics end to end).
+    "textured": dict(
+        scene="sphere",
+        config=dict(num_samples=4, num_bounces=2,
+                    resolution_x=64, resolution_y=64),
+        camera=dict(position=(0.55, 0.35, -1.75), yaw=-8.0,
+                    pitch=-10.0),
+        frame=0,
+    ),
 }
 
 

@@ -32,8 +32,10 @@ MAKERS = {
 def main():
     tmp = tempfile.mkdtemp()
     for name in sorted(GOLDEN_CONFIGS):
-        path = os.path.join(tmp, f"{name}.glb")
-        MAKERS[name](path)
+        scene = GOLDEN_CONFIGS[name].get("scene", name)
+        path = os.path.join(tmp, f"{scene}.glb")
+        if not os.path.exists(path):
+            MAKERS[scene](path)
         image = render_golden(name, path)
         write_golden(name, image)
         print(f"wrote golden: {name} ({image.shape})")

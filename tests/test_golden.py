@@ -16,7 +16,8 @@ from tests.golden_utils import (
     render_golden,
 )
 
-_FIXTURE = {"box": "box_glb", "cornell": "cornell_glb", "sphere": "sphere_glb"}
+_FIXTURE = {"box": "box_glb", "cornell": "cornell_glb",
+            "sphere": "sphere_glb", "textured": "sphere_glb"}
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_CONFIGS))

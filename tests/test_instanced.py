@@ -169,6 +169,20 @@ def test_update_instance_transforms(scenes):
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-4, atol=1e-4)
 
+    # Regression: the pair-stack table bakes child boxes per row, so
+    # a transform update must regenerate it (a stale table traverses
+    # pre-move boxes — wrong hits/occlusion through the production
+    # dispatcher, which prefers the pair kernel for instanced scenes).
+    if moved.bvh_pair is not None:
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_pair_closest_hit,
+        )
+
+        pg = pallas_pair_closest_hit(moved, o, d, interpret=True,
+                                     packet=512)
+        np.testing.assert_allclose(np.asarray(pg.t), np.asarray(got.t),
+                                   rtol=1e-5, atol=1e-5)
+
 
 def test_mirrored_instance_culling():
     """A negative-determinant instance transform must keep world-space

@@ -177,6 +177,90 @@ def test_rebalanced_pooled_pallas_kernel(box_dev, monkeypatch):
     assert float(rays) == pytest.approx(float(ref_rays))
 
 
+def test_anyhit_sharded_tiles_and_pooled(monkeypatch, tmp_path_factory):
+    """Any-hit last-bounce kernels inside shard_map (round-3 VERDICT:
+    zero coverage): an emissive-free scene with VKPT_ANYHIT=1 and
+    traversal='pallas' dispatches the quad any-hit kernel on the last
+    bounce inside BOTH the sharded tile render and the rebalanced
+    pooled wavefront, and matches the single-chip renders."""
+    import jax
+
+    from assets.procedural import make_atrium
+    from vulkan_pathtracer_tpu.ops import pallas_pair as pp
+    from vulkan_pathtracer_tpu.parallel.rebalance import (
+        make_pooled_sharded_render,
+    )
+    from vulkan_pathtracer_tpu.render.pipeline import (
+        _pixel_seeds, generate_rays,
+    )
+    from vulkan_pathtracer_tpu.render.wavefront import (
+        trace_wavefront_pooled,
+    )
+
+    path = str(tmp_path_factory.mktemp("mc_anyhit") / "atrium.glb")
+    make_atrium(path, detail=0.08)
+    base = build_device_scene(gltf.load(path), build_bvh=True)
+    assert base.emissive_free
+
+    for env in ("VKPT_PACKET", "VKPT_PAIR_PACKET", "VKPT_QUAD_PACKET"):
+        monkeypatch.setenv(env + "_PRIMARY", "256")
+        monkeypatch.setenv(env + "_SECONDARY", "256")
+    monkeypatch.setenv("VKPT_ANYHIT", "1")
+    monkeypatch.setenv("VKPT_ANYHIT_PACKET", "256")
+
+    calls = {"n": 0}
+    real_anyhit = pp.pallas_quad_any_hit
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_anyhit(*a, **k)
+
+    monkeypatch.setattr(pp, "pallas_quad_any_hit", counting)
+    jax.clear_caches()
+
+    mesh = make_render_mesh(4)
+    dev = replicate_scene(base, mesh)
+    pos = jnp.asarray([0.0, 2.0, 6.0])
+    hor = jnp.asarray([4.0, 0.0, 0.0])
+    ver = jnp.asarray([0.0, 4.0, 0.0])
+    fwd = jnp.asarray([0.0, 0.0, -1.0])
+
+    W, H = 16, 16
+    sharded = make_sharded_render(
+        mesh, dev, num_samples=1, num_bounces=2,
+        width=W, height=H, traversal="pallas",
+    )
+    img_sharded, rays_sharded = sharded(dev, pos, hor, ver, fwd,
+                                        jnp.uint32(0))
+    img_single, rays_single = render_frame(
+        base, pos, hor, ver, fwd, jnp.uint32(0),
+        num_samples=1, num_bounces=2, width=W, height=H,
+        traversal="pallas",
+    )
+    assert calls["n"] > 0, "any-hit kernel never dispatched under shard_map"
+    np.testing.assert_array_equal(np.asarray(img_sharded),
+                                  np.asarray(img_single))
+    assert float(rays_sharded) == float(rays_single)
+
+    # Rebalanced pooled wavefront: the production multi-chip program.
+    o, d = generate_rays(pos, hor, ver, fwd, W, H)
+    sx, sy = _pixel_seeds(W, H, jnp.uint32(0))
+    ref_color, ref_rays = trace_wavefront_pooled(
+        base, o, d, sx, sy, num_bounces=2, traversal="pallas",
+        sort_secondary=True,
+    )
+    before = calls["n"]
+    fn = make_pooled_sharded_render(
+        mesh, base, num_bounces=2, traversal="pallas", rebalance=True,
+    )
+    color, rays = fn(dev, o, d, sx, sy)
+    assert calls["n"] > before, \
+        "any-hit kernel never dispatched in the pooled sharded path"
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref_color),
+                               rtol=1e-5, atol=1e-6)
+    assert float(rays) == pytest.approx(float(ref_rays))
+
+
 def test_height_divisibility_error(box_dev):
     mesh = make_render_mesh(8)
     with pytest.raises(ValueError):

@@ -130,6 +130,11 @@ class DeviceScene:
     # Pair-stack kernel (ops/pallas_pair.py): one canonical table of
     # internal nodes with BOTH children's boxes + links per row.
     bvh_pair: Optional[jnp.ndarray] = None     # (Ni, 16) f32
+    # Static child/link maps for device-side pair-row regeneration on
+    # instanced transform updates (topology fixed, boxes move) —
+    # pallas_pair.pair_static_maps_preorder.
+    bvh_pair_src: Optional[jnp.ndarray] = None  # (Ni, 2) int32
+    bvh_pair_enc: Optional[jnp.ndarray] = None  # (Ni, 2) f32
     bvh_quad: Optional[jnp.ndarray] = None     # (N4, 32) f32 4-wide
     bvh_quad_src: Optional[jnp.ndarray] = None  # (N4, 4) int32 refit map
     bvh_quad_enc: Optional[jnp.ndarray] = None  # (N4, 4) f32 slot links
@@ -186,6 +191,7 @@ class DeviceScene:
         "bvh_leaf_first_build", "bvh_leaf_count_build", "bvh_perm",
         "bvh_packed", "bvh_packed_tail", "tri_blocks", "tri_coefs",
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_pair",
+        "bvh_pair_src", "bvh_pair_enc",
         "bvh_quad", "bvh_quad_src", "bvh_quad_enc",
         "bvh_oct", "bvh_oct_src", "bvh_oct_enc", "bvh_rows",
         "inst_inv", "inst_nrm", "asm_inst", "asm_src",
@@ -665,7 +671,11 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
 
             wbvh = build_wide_bvh(bvh, block=max_leaf_size)
             dev.bvh_wide_nodes = jnp.asarray(wbvh.nodes)
-        if bvh.node_count > 1:
+        from vulkan_pathtracer_tpu.ops.pallas_pair import STACK_CAP
+
+        # Stack tables only for trees the packet-shared SMEM stack can
+        # hold (deeper degenerate trees fall back to dense/XLA tiers).
+        if bvh.node_count > 1 and dev.bvh_depth <= STACK_CAP:
             from vulkan_pathtracer_tpu.ops.pallas_pair import (
                 build_oct_rows,
                 build_pair_rows,

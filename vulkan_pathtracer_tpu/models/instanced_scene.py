@@ -397,15 +397,25 @@ def build_instanced_scene(scene: Scene, max_leaf_size: int = 8) -> DeviceScene:
     # (dynamic near-first supersedes the static octant choice; leaf
     # encs carry the packed (inst << mb_bits | block) values which the
     # kernel's instanced MT decodes).
-    if nn_total > 1:
+    from vulkan_pathtracer_tpu.ops.pallas_pair import STACK_CAP
+
+    if nn_total > 1 and dev.bvh_depth <= STACK_CAP:
         from vulkan_pathtracer_tpu.ops.pallas_pair import (
             build_pair_rows_preorder,
+            pair_static_maps_preorder,
         )
 
         dev.bvh_pair = jnp.asarray(build_pair_rows_preorder(
             bmin_s[:nn_total], bmax_s[:nn_total],
             skip_local[:nn_total], leaf_vals[:nn_total],
         ))
+        # Static child/link maps so update_instance_transforms can
+        # regenerate the pair table on-device (topology is fixed;
+        # only the boxes move with the instances).
+        psrc, penc = pair_static_maps_preorder(
+            skip_local[:nn_total], leaf_vals[:nn_total])
+        dev.bvh_pair_src = jnp.asarray(psrc)
+        dev.bvh_pair_enc = jnp.asarray(penc)
 
     # Instancing metadata.
     dev.instanced = True
@@ -535,6 +545,22 @@ def update_instance_transforms(scene: DeviceScene, transforms) -> DeviceScene:
             [bmin_s, bmax_s, scene.bvh_packed_tail], axis=1
         ),
     )
+    # The pair-stack table bakes child BOXES per row — regenerate it
+    # from the refreshed octant-0 boxes through the static maps, or
+    # drop it so dispatch falls back (a stale table would traverse
+    # pre-move instance/TLAS boxes and return wrong hits/occlusion).
+    if scene.bvh_pair is not None:
+        if scene.bvh_pair_src is not None:
+            from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                build_pair_rows_from_maps,
+            )
+
+            updates["bvh_pair"] = build_pair_rows_from_maps(
+                bmin_s[:nn_total], bmax_s[:nn_total],
+                scene.bvh_pair_src, scene.bvh_pair_enc,
+            )
+        else:
+            updates["bvh_pair"] = None
     if scene.bvh_rows is not None:
         meta = jax.lax.bitcast_convert_type(
             scene.bvh_packed_tail, jnp.int32

@@ -47,8 +47,31 @@ from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
 
 _LANE = 128
 STACK_CAP = 96  # >= max tree depth (SAH/LBVH builds are ~2logN; the
-# build asserts depth < cap)
+# host row builders assert depth <= cap and every *_fits_vmem gate
+# rejects deeper scenes — see _stack_depth_ok)
 PAIR_BIG = np.float32(3e38)
+
+
+def _stack_depth_ok(scene) -> bool:
+    """SMEM stack-capacity gate shared by all *_fits_vmem gates.
+
+    The packet-shared stack holds at most one deferred entry per
+    ancestor level for the pair kernel (cap STACK_CAP) and width-1 per
+    level for the n-ary kernels (cap (width-1)*STACK_CAP) — both
+    bounded by tree depth <= STACK_CAP.  A deeper (degenerate SAH /
+    device-built) tree must fall back to the dense/XLA tiers instead
+    of silently overflowing SMEM.  Device Karras builds store the
+    static bound 34+log2(L) (ops/device_build._depth_bound), under
+    the cap at any realistic scale."""
+    return 0 < getattr(scene, "bvh_depth", 0) <= STACK_CAP
+
+
+def _assert_depth(depth: int, what: str) -> None:
+    if depth > STACK_CAP:
+        raise ValueError(
+            f"{what}: tree depth {depth} exceeds the packet-shared "
+            f"SMEM stack capacity {STACK_CAP}; use the dense/XLA "
+            f"tiers for this scene")
 
 
 def build_pair_rows(bvh, block: int) -> np.ndarray:
@@ -61,11 +84,14 @@ def build_pair_rows(bvh, block: int) -> np.ndarray:
     -(leaf_block_row + 1) (leaf_first is block-aligned after
     pad_leaves_to_blocks).
     """
+    from vulkan_pathtracer_tpu.ops.bvh import tree_depth
+
     n = bvh.node_count
     internal = bvh.left_child >= 0
     ni = int(internal.sum())
     if ni == 0:
         raise ValueError("pair rows need an internal root")
+    _assert_depth(tree_depth(bvh), "build_pair_rows")
     row_of = np.cumsum(internal) - 1  # preorder rank among internals
 
     def enc(child):
@@ -142,6 +168,9 @@ def _build_nary_rows(bvh, block: int, width: int) -> np.ndarray:
     NEVER hit (an "inverted" lo>hi box would NOT work: per-axis
     min/max re-normalizes it into an infinite slab that always hits).
     """
+    from vulkan_pathtracer_tpu.ops.bvh import tree_depth
+
+    _assert_depth(tree_depth(bvh), f"build {width}-ary rows")
     super_row, children = _nary_collapse(bvh, width)
     nw = len(children)
     rows = np.zeros((nw, 8 * width), np.float32)
@@ -193,6 +222,8 @@ def build_pair_rows_preorder(bmin, bmax, skip_local, leaf_first
     idx = np.nonzero(internal)[0]
     left = idx + 1
     right = skip_local[left]
+    _assert_depth(_preorder_depth(internal, left, right),
+                  "build_pair_rows_preorder")
 
     def enc(child):
         if internal[child]:
@@ -208,6 +239,54 @@ def build_pair_rows_preorder(bmin, bmax, skip_local, leaf_first
         rows[rr, 12] = enc(l)
         rows[rr, 13] = enc(int(r))
     return rows
+
+
+def _preorder_depth(internal, left, right) -> int:
+    """Max depth (root = 1) of a preorder tree given its internal
+    nodes' child indices (bounds the SMEM stack the kernels need)."""
+    depth = np.zeros(internal.shape[0], np.int32)
+    depth[0] = 1
+    idx = np.nonzero(internal)[0]
+    for i, l, r in zip(idx, left, right):
+        depth[l] = depth[r] = depth[i] + 1
+    return int(depth.max()) if depth.size else 0
+
+
+def pair_static_maps_preorder(skip_local, leaf_first):
+    """Static (src, enc) maps for device-side pair-row regeneration
+    when the preorder topology is fixed and only boxes move (instanced
+    transform updates): src (Ni, 2) int32 preorder node ids of each
+    internal row's two children; enc (Ni, 2) f32 slot links with the
+    SAME encoding as build_pair_rows_preorder (row index for internal
+    children, -(leaf_value + 1) verbatim for leaves)."""
+    leaf_first = np.asarray(leaf_first)
+    internal = leaf_first < 0
+    if not internal.any():
+        raise ValueError("pair maps need an internal root")
+    row_of = np.cumsum(internal) - 1
+    idx = np.nonzero(internal)[0]
+    left = idx + 1
+    right = np.asarray(skip_local)[left]
+    src = np.stack([left, right], axis=1).astype(np.int32)
+    enc = np.where(internal[src], row_of[src].astype(np.float32),
+                   -(leaf_first[src] + 1).astype(np.float32))
+    return src, enc.astype(np.float32)
+
+
+def build_pair_rows_from_maps(bmin, bmax, src, enc):
+    """Regenerate (Ni, 16) pair rows from fresh boxes through static
+    (src, enc) maps (device twin of build_pair_rows_preorder for
+    topology-stable updates, e.g. update_instance_transforms)."""
+    li = src[:, 0]
+    ri = src[:, 1]
+    return jnp.concatenate(
+        [
+            jnp.take(bmin, li, axis=0), jnp.take(bmax, li, axis=0),
+            jnp.take(bmin, ri, axis=0), jnp.take(bmax, ri, axis=0),
+            enc, jnp.zeros((src.shape[0], 2), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def _nary_static_maps(bvh, block: int, width: int):
@@ -355,7 +434,7 @@ def quad_fits_vmem(scene, budget_bytes: int = None,
         budget_bytes = int(os.environ.get(
             "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
     if getattr(scene, "bvh_quad", None) is None or \
-            scene.tri_blocks is None:
+            scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
     mxu = _mxu_active(scene)
     if scene.tri_blocks.shape[1] > _LANE and not mxu:
@@ -380,7 +459,8 @@ def _nary_hbm_fits(scene, table_attr: str, budget_bytes=None,
         budget_bytes = int(os.environ.get(
             "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
     table = getattr(scene, table_attr, None)
-    if table is None or scene.tri_blocks is None:
+    if table is None or scene.tri_blocks is None or \
+            not _stack_depth_ok(scene):
         return False
     mxu = table_attr == "bvh_quad" and _mxu_active(scene)
     if scene.tri_blocks.shape[1] > _LANE and not mxu:
@@ -1695,7 +1775,7 @@ def oct_fits_vmem(scene, budget_bytes: int = None,
         budget_bytes = int(os.environ.get(
             "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
     if getattr(scene, "bvh_oct", None) is None or \
-            scene.tri_blocks is None:
+            scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
     if scene.tri_blocks.shape[1] > _LANE:
         return False
@@ -1725,6 +1805,14 @@ def pallas_oct_closest_hit(scene, origin, direction, active=None,
     pad = (-n) % packet
     total = n + pad
     g = total // packet
+    # The in-VMEM oct kernel reproducibly faulted the TPU worker on
+    # >512-group launches at production table sizes (ROADMAP round-3
+    # finding 10; unexplained, fenced).  Auto-promote such launches to
+    # HBM-streamed leaves — same results, no fault pattern.
+    # VKPT_OCT_FORCE_VMEM=1 opts back in for repro experiments only.
+    if (not hbm_leaves and not interpret and g > 512
+            and os.environ.get("VKPT_OCT_FORCE_VMEM", "0") != "1"):
+        hbm_leaves = True
 
     def pad1(x, fill=0.0):
         return jnp.pad(x, (0, pad), constant_values=fill)
@@ -1814,7 +1902,7 @@ def pair_fits_vmem(scene, budget_bytes: int = None,
         budget_bytes = int(os.environ.get(
             "VKPT_VMEM_BUDGET", 100 * 1024 * 1024))
     if getattr(scene, "bvh_pair", None) is None or \
-            scene.tri_blocks is None:
+            scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
     if scene.tri_blocks.shape[1] > _LANE:
         return False

@@ -39,6 +39,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vulkan_pathtracer_tpu.models.device_scene import DeviceScene
 from vulkan_pathtracer_tpu.parallel.mesh import TILE_AXIS
 from vulkan_pathtracer_tpu.render.wavefront import (
+    _any_hit,
+    _anyhit_enabled,
     _bounce_sort_key,
     _closest_hit,
     _pack_state,
@@ -46,6 +48,7 @@ from vulkan_pathtracer_tpu.render.wavefront import (
     _shade_and_extend,
     _sort_chunk,
     _unpack_state,
+    sky_color,
 )
 
 
@@ -104,12 +107,25 @@ def make_pooled_sharded_render(mesh: Mesh, scene_example: DeviceScene, *,
         rays_traced = jnp.float32(0.0)
 
         def chunk_fn(last, rr, phase):
+            # Emissive-free last bounce: the ANY-HIT kernel (sky/miss
+            # decision only) — mirrors trace_wavefront_pooled, so the
+            # rebalanced multi-chip program takes the same fast path
+            # production single-chip renders do.
+            anyhit = last and _anyhit_enabled(scene)
+
             def fn(st):
                 co, cd, atten, color, csx, csy, c_alive, c_lane = \
                     _unpack_state(st)
 
                 def work(args):
                     co, cd, atten, color, csx, csy, c_alive = args
+                    if anyhit:
+                        hm = _any_hit(scene, co, cd, c_alive, traversal)
+                        missed = c_alive & ~hm
+                        color2 = color + jnp.where(
+                            missed[:, None], atten * sky_color(cd), 0.0)
+                        return (co, cd, atten, color2, csx, csy,
+                                jnp.zeros_like(c_alive))
                     hit = _closest_hit(scene, co, cd, c_alive, traversal,
                                        phase=phase)
                     return _shade_and_extend(

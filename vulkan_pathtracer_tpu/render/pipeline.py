@@ -257,8 +257,20 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
         )
 
         c = n // num_chunks
-        with uniform_stack_kernel(
-                os.environ.get("VKPT_CHUNK_KERNEL", "quad")):
+        chunk_kernel = os.environ.get("VKPT_CHUNK_KERNEL", "quad")
+        if (chunk_kernel in ("mixed", "") and
+                jax.default_backend() == "tpu"):
+            # Hard guard: mixed stack-kernel families inside one
+            # chunked lax.map body is the known TPU worker-fault
+            # program shape (wavefront.uniform_stack_kernel).  Refuse
+            # loudly rather than fault the worker mid-render.
+            raise ValueError(
+                "VKPT_CHUNK_KERNEL=mixed inside a chunked trace is a "
+                "known TPU worker-fault pattern (mixed pair+quad "
+                "kernels in one lax.map body — ROADMAP round-3 "
+                "finding 7); use quad|pair|packet, or VKPT_RAY_CHUNK=0 "
+                "to disable chunking")
+        with uniform_stack_kernel(chunk_kernel):
             acc, rays = jax.lax.map(
                 trace_chunk,
                 (

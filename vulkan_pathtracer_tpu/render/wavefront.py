@@ -74,26 +74,36 @@ F0_DIELECTRIC = 0.02        # ray_gen.rgen:82
 # uniform_stack_kernel(); single-phase lax.map bodies (the progressive
 # batch) keep the per-phase tiers.
 _UNIFORM_STACK_KERNEL = None
+# True while tracing ANY chunked lax.map body (regardless of whether a
+# kernel family was forced) — the any-hit gate keys on this, not on
+# _UNIFORM_STACK_KERNEL, so VKPT_CHUNK_KERNEL=mixed cannot re-enable
+# mixed closest+any-hit kernels inside a chunk (the worker-fault
+# pattern VKPT_ANYHIT_CHUNKED=0 exists to prevent).
+_IN_CHUNKED_TRACE = False
 
 
 class uniform_stack_kernel:
     """Context manager: force stack-kernel family ``kind`` ("oct" |
     "quad" | "pair" | "packet") for both phases while tracing.
-    ``None`` or "mixed" leaves the per-phase tiers in effect."""
+    ``None`` or "mixed" leaves the per-phase tiers in effect (but
+    still marks the trace as chunked for the any-hit gate)."""
 
     def __init__(self, kind):
         self.kind = None if kind in (None, "", "mixed") else kind
 
     def __enter__(self):
-        global _UNIFORM_STACK_KERNEL
+        global _UNIFORM_STACK_KERNEL, _IN_CHUNKED_TRACE
         self._prev = _UNIFORM_STACK_KERNEL
+        self._prev_chunked = _IN_CHUNKED_TRACE
+        _IN_CHUNKED_TRACE = True
         if self.kind is not None:
             _UNIFORM_STACK_KERNEL = self.kind
         return self
 
     def __exit__(self, *exc):
-        global _UNIFORM_STACK_KERNEL
+        global _UNIFORM_STACK_KERNEL, _IN_CHUNKED_TRACE
         _UNIFORM_STACK_KERNEL = self._prev
+        _IN_CHUNKED_TRACE = self._prev_chunked
         return False
 
 
@@ -344,7 +354,7 @@ def _anyhit_enabled(scene) -> bool:
         return False
     if not getattr(scene, "emissive_free", False):
         return False
-    if (_UNIFORM_STACK_KERNEL is not None
+    if (_IN_CHUNKED_TRACE
             and os.environ.get("VKPT_ANYHIT_CHUNKED", "0") != "1"):
         # Default OFF in chunked bodies until the mixed
         # closest+any-hit lax.map program is measured fault-free on
