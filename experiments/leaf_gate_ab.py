@@ -759,6 +759,50 @@ def main():
             # Exact quad kernel only exists at leaf <= 14 (scalar
             # leaf loads need static lane indices < 128).
             variants.insert(0, ("quad exact pk2048  ", q(2048)))
+    elif which == "frontier":
+        # 16-wide MXU node-phase kernel (ops/pallas_frontier.py) vs
+        # the quad stack kernel on the same rays.  The node phase is
+        # one (8,128)x(8,P) matmul per visit; precision sets the slab
+        # passes (guard band keeps every precision exact-conservative).
+        from vulkan_pathtracer_tpu.ops.mxu_mt import ensure_mt_coefs
+        from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+            pallas_frontier_closest_hit,
+        )
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_quad_closest_hit,
+        )
+
+        ensure_mt_coefs(dev)
+
+        def f(pk, prec="highest", mt=None, hbm=False, leaf=None):
+            def fn():
+                os.environ["VKPT_FRONTIER_PRECISION"] = prec
+                if mt:
+                    os.environ["VKPT_MT"] = mt
+                if leaf:
+                    os.environ["VKPT_FRONTIER_LEAF"] = leaf
+                try:
+                    return pallas_frontier_closest_hit(
+                        dev, o, d, alive, packet=pk, hbm_leaves=hbm)
+                finally:
+                    os.environ.pop("VKPT_MT", None)
+                    os.environ.pop("VKPT_FRONTIER_LEAF", None)
+            return fn
+
+        variants = [
+            ("frt highest pk2048 ", f(2048)),
+            ("frt high    pk2048 ", f(2048, "high")),
+            ("frt default pk2048 ", f(2048, "default")),
+            ("frt highest pk1024 ", f(1024)),
+            ("frt highest pk4096 ", f(4096)),
+            ("frt hst cond pk2048", f(2048, leaf="cond")),
+            ("frt hst hbm pk2048 ", f(2048, hbm=True)),
+            ("frt+mxu high pk2048", f(2048, "high", mt="mxu")),
+        ]
+        if dev.tri_blocks.shape[1] <= 128:
+            variants.insert(0, ("quad exact pk2048  ", lambda:
+                                pallas_quad_closest_hit(
+                                    dev, o, d, alive, packet=2048)))
     else:
         variants = [
             ("packet pk4096  ", lambda: pallas_closest_hit(

@@ -21,6 +21,10 @@ step mxu-smoke
 timeout 1200 python experiments/mxu_smoke.py >> $L 2>&1
 timeout 1200 env AB_LEAF=28 python experiments/mxu_smoke.py >> $L 2>&1
 
+step frontier-smoke
+timeout 1200 python experiments/frontier_smoke.py >> $L 2>&1
+timeout 1200 env AB_LEAF=28 python experiments/frontier_smoke.py >> $L 2>&1
+
 step mxu-isolated-AB
 VARIANTS=mxu AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 
@@ -38,6 +42,12 @@ VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 BENCH_MODE=spp BENCH_TARGET_SPP
 
 step spp-convergence-128
 BENCH_MODE=spp BENCH_TARGET_SPP=128 timeout 3000 python bench.py >> $L 2>&1
+
+step frontier-isolated-AB
+VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
+step frontier-isolated-AB-leaf28
+VARIANTS=frontier AB_LEAF=28 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 
 step anyhit-isolated-AB
 VARIANTS=anyhit AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1

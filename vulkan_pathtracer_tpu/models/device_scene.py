@@ -138,6 +138,11 @@ class DeviceScene:
     bvh_quad: Optional[jnp.ndarray] = None     # (N4, 32) f32 4-wide
     bvh_quad_src: Optional[jnp.ndarray] = None  # (N4, 4) int32 refit map
     bvh_quad_enc: Optional[jnp.ndarray] = None  # (N4, 4) f32 slot links
+    # MXU frontier kernel (ops/pallas_frontier.py): 16-ary collapse
+    # stored as slab-coefficient tiles — the node phase is one matmul.
+    bvh_frontier: Optional[jnp.ndarray] = None      # (Nw, 8, 128) f32
+    bvh_frontier_src: Optional[jnp.ndarray] = None  # (Nw, 16) int32
+    bvh_frontier_enc: Optional[jnp.ndarray] = None  # (Nw, 16) f32
     bvh_oct: Optional[jnp.ndarray] = None      # (N8, 64) f32 8-wide
     bvh_oct_src: Optional[jnp.ndarray] = None  # (N8, 8) int32 refit map
     bvh_oct_enc: Optional[jnp.ndarray] = None  # (N8, 8) f32 slot links
@@ -193,6 +198,7 @@ class DeviceScene:
         "tri_attr", "mat_packed", "bvh_wide_nodes", "bvh_pair",
         "bvh_pair_src", "bvh_pair_enc",
         "bvh_quad", "bvh_quad_src", "bvh_quad_enc",
+        "bvh_frontier", "bvh_frontier_src", "bvh_frontier_enc",
         "bvh_oct", "bvh_oct_src", "bvh_oct_enc", "bvh_rows",
         "inst_inv", "inst_nrm", "asm_inst", "asm_src",
         "mesh_obj_bmin", "mesh_obj_bmax", "inst_root_obj",
@@ -696,4 +702,14 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
             osrc, oenc = oct_static_maps(bvh, max_leaf_size)
             dev.bvh_oct_src = jnp.asarray(osrc)
             dev.bvh_oct_enc = jnp.asarray(oenc)
+            from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+                build_frontier_rows,
+                frontier_static_maps,
+            )
+
+            dev.bvh_frontier = jnp.asarray(
+                build_frontier_rows(bvh, max_leaf_size))
+            fsrc, fenc = frontier_static_maps(bvh, max_leaf_size)
+            dev.bvh_frontier_src = jnp.asarray(fsrc)
+            dev.bvh_frontier_enc = jnp.asarray(fenc)
     return dev

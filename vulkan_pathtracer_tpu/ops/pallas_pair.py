@@ -24,7 +24,12 @@ costs:
 - Both-children-miss pops the stack; an empty stack terminates.
   Union semantics (any lane's hit drives descent) and the leaf
   Moller-Trumbore block are IDENTICAL to the preorder kernel, so
-  results are bit-exact vs the XLA path / brute force.
+  results are bit-exact vs the XLA path / brute force.  Scope: that
+  claim holds per DISPATCH (same rays in, same hits out, tested in
+  tests/test_pallas.py).  A chunked lax.map trace around the kernel
+  is allclose-not-bitexact vs the unchunked program (~2^-18 diffs on
+  a few permille of lanes — XLA reassociates the surrounding shading
+  arithmetic differently across program shapes; ROADMAP finding 7).
 
 Reference anchor: this replaces the closest-hit scheduling the
 driver's RT hardware performs behind traceRayEXT

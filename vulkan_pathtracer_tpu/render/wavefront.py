@@ -266,16 +266,31 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 tiers = ["quad", "quad_hbm", "oct", "oct_hbm", "pair"]
             else:
                 tiers = ["pair", "quad", "quad_hbm", "oct", "oct_hbm"]
-            if kern in ("oct", "quad", "pair"):
+            if kern in ("oct", "quad", "pair", "frontier"):
                 pref = [kern, kern + "_hbm"]
                 tiers = pref + [k for k in tiers if k not in pref]
             if use_stack and kern != "packet":
+                from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+                    frontier_fits_vmem,
+                    frontier_hbm_fits,
+                    pallas_frontier_closest_hit,
+                )
                 from vulkan_pathtracer_tpu.ops.pallas_pair import (
                     oct_hbm_fits,
                     quad_hbm_fits,
                 )
 
+                pk_frontier = int(os.environ.get(
+                    "VKPT_FRONTIER_PACKET", 2048))
                 calls = {
+                    # Opt-in (VKPT_KERNEL_*=frontier) until measured:
+                    # the 16-wide MXU node-phase kernel.
+                    "frontier": (frontier_fits_vmem,
+                                 pallas_frontier_closest_hit,
+                                 pk_frontier, False),
+                    "frontier_hbm": (frontier_hbm_fits,
+                                     pallas_frontier_closest_hit,
+                                     pk_frontier, True),
                     "oct": (oct_fits_vmem, pallas_oct_closest_hit,
                             pk_oct, False),
                     "quad": (quad_fits_vmem, pallas_quad_closest_hit,
@@ -982,8 +997,13 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
 
     Exactness: per-frame pcg2d streams are independent (frame index
     seeds them), so vectorizing over frames preserves every stream
-    bit-exactly; sorting and chunking are scheduling-only.  Requires
-    1 spp (cross-SAMPLE batching would break the per-pixel stream's
+    bit-exactly; sorting is scheduling-only (hits, RNG draws, and ray
+    counts are exact).  Chunked dispatch (VKPT_CHUNK) is allclose-
+    not-bitexact vs the unchunked program: XLA reassociates the
+    shading arithmetic differently across program shapes (~2^-18
+    diffs on a few permille of lanes; ROADMAP finding 7 — tests
+    assert tight allclose + exact ray counts).  Requires 1 spp
+    (cross-SAMPLE batching would break the per-pixel stream's
     sequential draw order).
 
     ``seed_x/seed_y``: (batch, N) uint32.  Returns
