@@ -98,6 +98,51 @@ def main():
         print(f"flips={flips.mean():.5f} max_rel_t={rel.max():.2e}",
               flush=True)
 
+    # ---- instanced tier: feature-transform matmul + det_sign -------
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_any_hit,
+        pallas_pair_closest_hit,
+    )
+
+    idev = ensure_mt_coefs(
+        build_instanced_scene(gltf.load(path), max_leaf_size=8))
+    print(f"instanced: {idev.inst_inv.shape[0]} instances", flush=True)
+
+    def irun(tag, mt, anyhit=False):
+        if mt:
+            os.environ["VKPT_MT"] = mt
+        try:
+            t0 = time.perf_counter()
+            if anyhit:
+                r = pallas_pair_any_hit(idev, o, d, interpret=interp,
+                                        packet=2048)
+                chk = float(jnp.sum(r))
+            else:
+                r = pallas_pair_closest_hit(
+                    idev, o, d, interpret=interp, packet=2048)
+                chk = float(jnp.sum(jnp.where(r.t < 1e32, r.t, 0.0)))
+            dt = time.perf_counter() - t0
+            print(f"{tag}: OK {dt*1000:.0f} ms (incl compile) "
+                  f"chk={chk:.6g}", flush=True)
+            return r
+        except Exception as e:
+            print(f"{tag}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            return None
+        finally:
+            os.environ.pop("VKPT_MT", None)
+
+    iref = irun("inst pair exact ", None)
+    igot = irun("inst pair mxu   ", "mxu")
+    irun("inst ah mxu     ", "mxu", anyhit=True)
+    if iref is not None and igot is not None:
+        rt, gt = np.asarray(iref.t), np.asarray(igot.t)
+        flips = (rt < 1e32) != (gt < 1e32)
+        print(f"inst flips={flips.mean():.5f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -253,9 +253,10 @@ def test_deforming_rebuild_regenerates_coefs(request, monkeypatch):
 
 
 def test_instanced_scene_ignores_mxu_env(request, monkeypatch):
-    """Two-level scenes have no object-space coefficient path: with
-    VKPT_MT=mxu set they must silently keep the exact kernels (and
-    produce identical results), never crash or go stale."""
+    """Instanced scenes WITHOUT baked coefficient/feature tables must
+    silently keep the exact kernels under VKPT_MT=mxu (identical
+    results) — the tier only activates once ensure_mt_coefs (or a
+    VKPT_MT=mxu bake) attaches tri_coefs + inst_feat."""
     from vulkan_pathtracer_tpu.models.instanced_scene import (
         build_instanced_scene,
     )
@@ -265,12 +266,159 @@ def test_instanced_scene_ignores_mxu_env(request, monkeypatch):
 
     scene = gltf.load(request.getfixturevalue("columns_glb"))
     dev = build_instanced_scene(scene)
-    assert dev.instanced
+    assert dev.instanced and dev.tri_coefs is None
     o, d = _rays(600, seed=41)
     ref = pallas_pair_closest_hit(dev, o, d, interpret=True)
     monkeypatch.setenv("VKPT_MT", "mxu")
     got = pallas_pair_closest_hit(dev, o, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+
+
+def test_instance_feature_map_math():
+    """A @ pad16(feats_world) == packet features of the object-space
+    ray, for random affine maps (incl. a mirrored one): the linearity
+    derivation d'=Wd, m'=cof(W)m+[w]xWd, o'=Wo+w is exact."""
+    from vulkan_pathtracer_tpu.ops.mxu_mt import instance_feature_maps
+
+    rng = np.random.default_rng(11)
+    for mirror in (1.0, -1.0):
+        W = rng.normal(size=(3, 3)).astype(np.float32)
+        W[0] *= mirror
+        w = rng.normal(size=3).astype(np.float32)
+        inst_inv = np.zeros((1, 16), np.float32)
+        inst_inv[0, 0:9] = W.reshape(-1)
+        inst_inv[0, 9:12] = w
+        inst_inv[0, 12] = np.sign(np.linalg.det(W))
+        A = instance_feature_maps(inst_inv)[0]          # (10, 16)
+        o = rng.normal(size=3).astype(np.float32)
+        d = rng.normal(size=3).astype(np.float32)
+        feats_w = np.concatenate(
+            [d, np.cross(o, d), o, [1.0]]).astype(np.float64)
+        feats16 = np.concatenate([feats_w, np.zeros(6)])
+        got = A.astype(np.float64) @ feats16
+        oo = W.astype(np.float64) @ o + w
+        dd = W.astype(np.float64) @ d
+        want = np.concatenate([dd, np.cross(oo, dd), oo, [1.0]])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def inst_mxu(request):
+    """Instanced columns scene with the MXU tables attached, plus the
+    exact-kernel twin (same scene object pre-ensure — ensure mutates,
+    so build two)."""
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_instanced_scene(scene, max_leaf_size=8)
+    return ensure_mt_coefs(dev)
+
+
+def test_instanced_pair_mxu_matches_exact(inst_mxu, monkeypatch):
+    """Instanced MXU leaf tier (feature-transform matmul + object-
+    space coefficient visit) vs the exact instanced pair kernel."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+
+    o, d = _rays(1500, seed=43)
+    ref = pallas_pair_closest_hit(inst_mxu, o, d, interpret=True,
+                                  packet=512)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_pair_closest_hit(inst_mxu, o, d, interpret=True,
+                                  packet=512)
+    _assert_relaxed_parity(ref, got, 1500)
+
+
+def test_instanced_mirrored_mxu(monkeypatch):
+    """det_sign path: a mirrored (negative-determinant) instance must
+    keep world-winding culling under the MXU tier."""
+    import tempfile
+
+    from assets import procedural as pr
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        build_instanced_scene,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+
+    prim = pr.box_prim((0, 0, 0), (1, 1, 1), 0)
+    mats = [pr.MaterialDesc(base_color=(1, 0, 0, 1))]
+    nodes = [
+        pr.NodeDesc(mesh=0, translation=(-1.5, 0, 0)),
+        pr.NodeDesc(mesh=0, translation=(1.5, 0, 0),
+                    scale=(-1.0, 1.0, 1.0)),
+    ]
+    path = tempfile.mktemp(suffix=".glb")
+    pr.write_glb(path, meshes=[[prim]], materials=mats, nodes=nodes)
+    dev = ensure_mt_coefs(
+        build_instanced_scene(gltf.load(path), max_leaf_size=8))
+    o, d = _rays(900, seed=23)
+    ref = pallas_pair_closest_hit(dev, o, d, interpret=True,
+                                  packet=512)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_pair_closest_hit(dev, o, d, interpret=True,
+                                  packet=512)
+    _assert_relaxed_parity(ref, got, 900)
+    # The mirrored instance must actually be hittable under the tier
+    # (a wrong det_sign would cull it entirely).
+    hit_right = (np.asarray(got.t) < MISS_T) & (np.asarray(o)[:, 0]
+                                                + np.asarray(got.t)
+                                                * np.asarray(d)[:, 0]
+                                                > 0.5)
+    assert hit_right.sum() > 10
+
+
+def test_instanced_pair_mxu_anyhit(inst_mxu, monkeypatch):
+    """Instanced any-hit MXU tier: occlusion mask vs the exact
+    instanced any-hit kernel (tiny edge-grazing budget)."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_any_hit,
+    )
+
+    o, d = _rays(1200, seed=44)
+    ref = pallas_pair_any_hit(inst_mxu, o, d, interpret=True,
+                              packet=512)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_pair_any_hit(inst_mxu, o, d, interpret=True,
+                              packet=512)
+    flips = np.asarray(ref) != np.asarray(got)
+    assert flips.mean() <= 0.002, flips.mean()
+
+
+def test_transform_update_regenerates_inst_feat(inst_mxu, request,
+                                                monkeypatch):
+    """update_instance_transforms must regenerate the feature tiles:
+    after a move, the MXU pair kernel agrees with the XLA traversal
+    over the SAME moved scene (a stale inst_feat would intersect
+    pre-move geometry)."""
+    from vulkan_pathtracer_tpu.models.instanced_scene import (
+        update_instance_transforms,
+    )
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_pair_closest_hit,
+    )
+    from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+
+    # Offset each instance's ORIGINAL transform (a uniform replacement
+    # would stack every instance at one spot — coincident surfaces).
+    host = gltf.load(request.getfixturevalue("columns_glb"))
+    t = np.stack([i.transform for i in host.instances]).astype(
+        np.float32)
+    rng = np.random.default_rng(9)
+    t[:, :3, 3] += rng.uniform(-0.6, 0.6, (t.shape[0], 3)).astype(
+        np.float32)
+    moved = update_instance_transforms(inst_mxu, jnp.asarray(t))
+    assert moved.inst_feat is not None
+    o, d = _rays(900, seed=45)
+    ref = bvh_closest_hit(moved, o, d)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    got = pallas_pair_closest_hit(moved, o, d, interpret=True,
+                                  packet=512)
+    _assert_relaxed_parity(ref, got, 900)
 
 
 def test_chunked_render_mxu(request, monkeypatch):

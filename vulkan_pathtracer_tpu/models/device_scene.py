@@ -159,6 +159,11 @@ class DeviceScene:
     # shared by all instances.
     inst_inv: Optional[jnp.ndarray] = None       # (I, 16) invA|invT|detsign
     inst_nrm: Optional[jnp.ndarray] = None       # (I, 9) normal matrix
+    # Instanced MXU leaf tier: per-instance world->object feature
+    # transform tiles (mxu_mt.instance_feature_maps; baked when
+    # VKPT_MT=mxu, post-hoc via ensure_mt_coefs, regenerated by
+    # update_instance_transforms).
+    inst_feat: Optional[jnp.ndarray] = None      # (I, 10, 16) f32
     asm_inst: Optional[jnp.ndarray] = None       # (orders*Nn,) int32, -1=top
     asm_src: Optional[jnp.ndarray] = None        # (orders*Nn,) mesh-box idx
     mesh_obj_bmin: Optional[jnp.ndarray] = None  # per-octant mesh node boxes
@@ -200,7 +205,7 @@ class DeviceScene:
         "bvh_quad", "bvh_quad_src", "bvh_quad_enc",
         "bvh_frontier", "bvh_frontier_src", "bvh_frontier_enc",
         "bvh_oct", "bvh_oct_src", "bvh_oct_enc", "bvh_rows",
-        "inst_inv", "inst_nrm", "asm_inst", "asm_src",
+        "inst_inv", "inst_nrm", "inst_feat", "asm_inst", "asm_src",
         "mesh_obj_bmin", "mesh_obj_bmax", "inst_root_obj",
         "top_left", "top_right", "top_leaf_inst", "top_asm_pos",
     )

@@ -431,6 +431,20 @@ def build_instanced_scene(scene: Scene, max_leaf_size: int = 8) -> DeviceScene:
         np.concatenate([b[1] for b in mesh_obj_boxes])
     )
     dev.inst_root_obj = jnp.asarray(inst_root_obj)
+    if __import__("os").environ.get("VKPT_MT", "").lower() == "mxu":
+        # MXU leaf tier: per-MESH object-space coefficient rows (the
+        # geometry-once contract holds — tri_coefs is transform-free)
+        # + per-instance feature-transform tiles (ops/mxu_mt.py).
+        from vulkan_pathtracer_tpu.ops.mxu_mt import (
+            build_mt_coef_rows,
+            instance_feature_maps,
+        )
+
+        # Host copies only (never read back from device during a
+        # bake — relay sync stalls; CLAUDE.md).
+        dev.tri_coefs = jnp.asarray(build_mt_coef_rows(
+            flat.reshape(total_blocks, block * 9), block))
+        dev.inst_feat = jnp.asarray(instance_feature_maps(inst_inv))
     dev.top_left = jnp.asarray(top.left_child)
     dev.top_right = jnp.asarray(top.right_child)
     top_leaf_inst = np.where(
@@ -545,6 +559,14 @@ def update_instance_transforms(scene: DeviceScene, transforms) -> DeviceScene:
             [bmin_s, bmax_s, scene.bvh_packed_tail], axis=1
         ),
     )
+    if getattr(scene, "inst_feat", None) is not None:
+        # MXU feature-transform tiles depend on the transforms;
+        # regenerate on-device (tri_coefs is object-space — fixed).
+        from vulkan_pathtracer_tpu.ops.mxu_mt import (
+            instance_feature_maps,
+        )
+
+        updates["inst_feat"] = instance_feature_maps(inst_inv)
     # The pair-stack table bakes child BOXES per row — regenerate it
     # from the refreshed octant-0 boxes through the static maps, or
     # drop it so dispatch falls back (a stale table would traverse

@@ -119,15 +119,70 @@ def build_mt_coef_rows_device(tri_v0, tri_e1, tri_e2, block):
     return C.reshape(n // block, 10, 4 * block)
 
 
+def instance_feature_maps(inst_inv):
+    """Per-instance WORLD->OBJECT feature-transform tiles for the
+    instanced MXU leaf tier: (I, 16) inverse-transform rows
+    [W row-major (9) | w (3) | det_sign | pad] -> (I, 10, 16) f32 A
+    with  feats_object = A @ pad_features16(feats_world).
+
+    The 10-feature ray vector r = [d, m, o, 1] (m = o x d) transforms
+    LINEARLY under the affine map x -> W x + w:
+
+        d' = W d
+        m' = o' x d' = (W o + w) x (W d) = cof(W) m + [w]x W d
+        o' = W o + w
+
+    (cof(W) = det(W) W^-T, columns c1 x c2, c2 x c0, c0 x c1 of W's
+    columns ci — the standard (Wa) x (Wb) = cof(W)(a x b) identity),
+    so ONE tiny (10, 16) x (16, P) matmul per leaf visit replaces the
+    exact kernel's 18-MAC object-space ray transform AND feeds the
+    same per-MESH object-space coefficient table — instancing keeps
+    its geometry-once memory contract (tri_coefs is mesh-local; only
+    these 640 B/instance tiles depend on transforms).  Works with np
+    rows (host bake) and jnp rows (device transform updates)."""
+    xp = np if isinstance(inst_inv, np.ndarray) else jnp
+    n = inst_inv.shape[0]
+    W = inst_inv[:, 0:9].reshape(n, 3, 3)
+    w = inst_inv[:, 9:12]
+    c0, c1, c2 = W[:, :, 0], W[:, :, 1], W[:, :, 2]
+    cof = xp.stack([xp.cross(c1, c2), xp.cross(c2, c0),
+                    xp.cross(c0, c1)], axis=2)       # columns
+    zc = xp.zeros((n,), inst_inv.dtype)
+    skew = xp.stack([
+        xp.stack([zc, -w[:, 2], w[:, 1]], axis=1),
+        xp.stack([w[:, 2], zc, -w[:, 0]], axis=1),
+        xp.stack([-w[:, 1], w[:, 0], zc], axis=1),
+    ], axis=1)                                       # (n, 3, 3)
+    skew_w = xp.einsum("nij,njk->nik", skew, W)
+    z33 = xp.zeros((n, 3, 3), inst_inv.dtype)
+    z37 = xp.zeros((n, 3, 7), inst_inv.dtype)
+    rows_d = xp.concatenate([W, z33, z33, z37], axis=2)
+    rows_m = xp.concatenate([skew_w, cof, z33, z37], axis=2)
+    rows_o = xp.concatenate(
+        [z33, z33, W, w[:, :, None],
+         xp.zeros((n, 3, 6), inst_inv.dtype)], axis=2)
+    row_1 = xp.concatenate(
+        [xp.zeros((n, 1, 9), inst_inv.dtype),
+         xp.ones((n, 1, 1), inst_inv.dtype),
+         xp.zeros((n, 1, 6), inst_inv.dtype)], axis=2)
+    A = xp.concatenate([rows_d, rows_m, rows_o, row_1], axis=1)
+    return A.astype("float32")
+
+
 def ensure_mt_coefs(dev):
-    """Attach tri_coefs to an already-baked DeviceScene (tests /
-    experiment harnesses).  Syncs tri_blocks to host — do NOT call
-    during a bake (relay stall; bake-time coefs come from
-    build_device_scene's host copy when VKPT_MT=mxu)."""
+    """Attach tri_coefs (and, for instanced scenes, inst_feat) to an
+    already-baked DeviceScene (tests / experiment harnesses).  Syncs
+    device arrays to host — do NOT call during a bake (relay stall;
+    bake-time coefs come from the bake's host copies when
+    VKPT_MT=mxu)."""
     if getattr(dev, "tri_coefs", None) is None and \
             dev.tri_blocks is not None:
         dev.tri_coefs = jnp.asarray(build_mt_coef_rows(
             np.asarray(dev.tri_blocks), dev.max_leaf_size))
+    if getattr(dev, "instanced", False) and \
+            getattr(dev, "inst_feat", None) is None:
+        dev.inst_feat = jnp.asarray(instance_feature_maps(
+            np.asarray(dev.inst_inv)))
     return dev
 
 
@@ -170,21 +225,34 @@ def packet_features(ox, oy, oz, dx, dy, dz):
     return jnp.concatenate(flat, axis=0)
 
 
+def pad_features16(feats):
+    """(10, P) feature matrix -> (16, P): six zero rows so the
+    instanced (10, 16) A-tiles contract without lane slicing."""
+    return jnp.concatenate(
+        [feats, jnp.zeros((6, feats.shape[1]), jnp.float32)], axis=0)
+
+
 def mt_coef_visit(coef, feats, tnear_f, tlim_f, tri_base, block,
-                  tmin, precision):
+                  tmin, precision, det_sign=None):
     """One leaf visit, flat layout.
 
     coef (10, >=4*block) f32 (trailing lane padding is zero => those
     phantom triangles have det == 0 and never hit); feats (10, P);
-    tnear_f/tlim_f (1, P).  Returns (t (1, P) with BIG for no-hit,
-    tri (1, P) i32 block-LOCAL k + tri_base, u, v) — candidates only;
-    the caller merges against its running best (a candidate exists
-    iff t < tlim, which the hit test already enforced).
+    tnear_f/tlim_f (1, P).  ``det_sign`` (scalar, instanced world-
+    winding cull) scales ALL det-linear quantities uniformly — the
+    divided t/u/v are unchanged and det > 0 becomes det*sign > 0,
+    exactly the exact kernels' mirrored-instance semantics.  Returns
+    (t (1, P) with BIG for no-hit, tri (1, P) i32 block-LOCAL k +
+    tri_base, u, v) — candidates only; the caller merges against its
+    running best (a candidate exists iff t < tlim, which the hit test
+    already enforced).
     """
     B = block
     res = jax.lax.dot_general(
         coef, feats, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
+    if det_sign is not None:
+        res = res * det_sign
     det = res[0:B]
     up = res[B:2 * B]
     vp = res[2 * B:3 * B]
@@ -213,17 +281,20 @@ def mt_coef_visit(coef, feats, tnear_f, tlim_f, tri_base, block,
 
 
 def mt_coef_visit_anyhit(coef, feats, tnear_f, tl_f, block, tmin,
-                         precision):
+                         precision, det_sign=None):
     """Any-hit leaf visit, flat layout: returns (1, P) f32 — 1.0
     where SOME triangle accepts.  Fully det-scaled (no division at
     all: under front, det > 0, so t-window compares multiply through
-    by det).  The scaled compares can disagree with the closest-hit
-    MXU tier's divided t by ~1 ulp on window-grazing hits — both are
-    inside the relaxed-parity budget."""
+    by det; ``det_sign`` scales all rows uniformly, see
+    mt_coef_visit).  The scaled compares can disagree with the
+    closest-hit MXU tier's divided t by ~1 ulp on window-grazing hits
+    — both are inside the relaxed-parity budget."""
     B = block
     res = jax.lax.dot_general(
         coef, feats, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
+    if det_sign is not None:
+        res = res * det_sign
     det = res[0:B]
     up = res[B:2 * B]
     vp = res[2 * B:3 * B]

@@ -389,15 +389,23 @@ def build_oct_rows_device(bmin_build, bmax_build, src, enc):
     return _build_nary_rows_device(bmin_build, bmax_build, src, enc)
 
 
-def _mxu_active(scene) -> bool:
-    """The MXU leaf tier will be taken by the quad launchers: no
-    scalar leaf loads, so tri rows wider than one lane tile (leaf
-    block > 14) are fine — the fit gates must not reject them."""
+def _mxu_active(scene, allow_instanced: bool = False) -> bool:
+    """The MXU leaf tier will be taken by the launchers: no scalar
+    leaf loads, so tri rows wider than one lane tile (leaf block > 14)
+    are fine — the fit gates must not reject them.  Instanced scenes
+    additionally need the per-instance feature-transform tiles
+    (mxu_mt.instance_feature_maps) and are only supported by the PAIR
+    kernels, which carry the object-space leaf decode — the quad/oct/
+    frontier call sites keep the default ``allow_instanced=False``."""
     import os
 
-    return (os.environ.get("VKPT_MT", "exact").lower() == "mxu"
-            and getattr(scene, "tri_coefs", None) is not None
-            and not scene.instanced)
+    if (os.environ.get("VKPT_MT", "exact").lower() != "mxu"
+            or getattr(scene, "tri_coefs", None) is None):
+        return False
+    if scene.instanced:
+        return (allow_instanced
+                and getattr(scene, "inst_feat", None) is not None)
+    return True
 
 
 def _coef_row_bytes(scene) -> int:
@@ -526,11 +534,23 @@ def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
 
 def _make_pair_kernel(n_rows: int, block: int, packet: int,
                       tmin: float, instanced: bool = False,
-                      mb_bits: int = 0):
+                      mb_bits: int = 0, mxu_precision=None):
+    """``mxu_precision`` non-None switches the leaf phase to the MXU
+    coefficient tier (tris_ref: (n_leaves, 10, >=4*block) OBJECT-space
+    coefficient rows).  Instanced scenes additionally take ifeat_ref
+    (I, 10, 16) feature-transform tiles: the leaf visit becomes TWO
+    chained matmuls — feats_obj = A @ feats16_world (replacing the
+    exact path's 18-MAC object-space ray transform) then the usual
+    coefficient visit, with det_sign scaling for world-winding cull
+    (mxu_mt.instance_feature_maps / mt_coef_visit)."""
     sub = packet // _LANE
+    mxu = mxu_precision is not None
 
     def kernel(pairs_ref, tris_ref, *rest):
-        if instanced:
+        ifeat_ref = None
+        if instanced and mxu:
+            inst_ref, ifeat_ref, rays_ref, out_ref, stack_ref = rest
+        elif instanced:
             inst_ref, rays_ref, out_ref, stack_ref = rest
         else:
             inst_ref = None
@@ -629,6 +649,53 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
                 u_best = jnp.where(hit, u, u_best)
                 v_best = jnp.where(hit, v, v_best)
             return t_best, tri_best, u_best, v_best
+
+        if mxu:
+            from vulkan_pathtracer_tpu.ops import mxu_mt
+
+            # Matmul rhs + flat per-ray rows, built ONCE per packet
+            # (world space; instanced visits transform the FEATURES,
+            # not the rays — one (10,16)x(16,P) matmul per visit).
+            feats_w = mxu_mt.packet_features(ox, oy, oz, dx, dy, dz)
+            feats16 = (mxu_mt.pad_features16(feats_w)
+                       if instanced else None)
+            tnear_f = mxu_mt.flatten_rows(tnear)
+
+            def mt_block_mxu(leaf_i, args):
+                t_best, tri_best, u_best, v_best = args
+                if instanced:
+                    inst = leaf_i >> mb_bits
+                    row = leaf_i & ((1 << mb_bits) - 1)
+                    # Feature transform at HIGHEST: errors here shift
+                    # the ray itself and amplify into every t/u/v.
+                    feats = jax.lax.dot_general(
+                        ifeat_ref[inst], feats16,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    det_sign = inst_ref[inst, 12]
+                else:
+                    row = leaf_i
+                    feats = feats_w
+                    det_sign = None
+                tlim_f = mxu_mt.flatten_rows(jnp.minimum(t_best, tl))
+                tb, trib, ub, vb = mxu_mt.mt_coef_visit(
+                    tris_ref[row], feats, tnear_f, tlim_f,
+                    leaf_i * block, block, jnp.float32(tmin),
+                    mxu_precision, det_sign=det_sign)
+                tb_u = mxu_mt.unflatten_rows(tb, sub)
+                upd = tb_u < jnp.minimum(t_best, tl)
+                return (
+                    jnp.where(upd, tb_u, t_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(trib, sub),
+                              tri_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(ub, sub),
+                              u_best),
+                    jnp.where(upd, mxu_mt.unflatten_rows(vb, sub),
+                              v_best),
+                )
+
+            mt_block = mt_block_mxu
 
         def cond(state):
             return state[0] >= 0
@@ -1235,15 +1302,22 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
 
 def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
                              tmin: float, instanced: bool = False,
-                             mb_bits: int = 0):
+                             mb_bits: int = 0, mxu_precision=None):
     """ANY-HIT variant of the pair (BVH2 shared-stack) kernel — the
     instanced-capable tier (object-space MT per leaf visit, same
     contract as _make_pair_kernel).  See _make_nary_anyhit_kernel for
-    the resolved-bit semantics and exactness argument."""
+    the resolved-bit semantics and exactness argument.
+    ``mxu_precision`` non-None: MXU coefficient leaf tier (RELAXED
+    parity, fully det-scaled); instanced scenes take ifeat_ref like
+    _make_pair_kernel."""
     sub = packet // _LANE
+    mxu = mxu_precision is not None
 
     def kernel(pairs_ref, tris_ref, *rest):
-        if instanced:
+        ifeat_ref = None
+        if instanced and mxu:
+            inst_ref, ifeat_ref, rays_ref, out_ref, stack_ref = rest
+        elif instanced:
             inst_ref, rays_ref, out_ref, stack_ref = rest
         else:
             inst_ref = None
@@ -1318,6 +1392,38 @@ def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
                        & (t < tl))
                 hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
             return hitf
+
+        if mxu:
+            from vulkan_pathtracer_tpu.ops import mxu_mt
+
+            feats_w = mxu_mt.packet_features(ox, oy, oz, dx, dy, dz)
+            feats16 = (mxu_mt.pad_features16(feats_w)
+                       if instanced else None)
+            tnear_f = mxu_mt.flatten_rows(tnear)
+            tl_f = mxu_mt.flatten_rows(tl)
+
+            def mt_block_mxu(leaf_i, hitf):
+                if instanced:
+                    inst = leaf_i >> mb_bits
+                    row = leaf_i & ((1 << mb_bits) - 1)
+                    feats = jax.lax.dot_general(
+                        ifeat_ref[inst], feats16,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    det_sign = inst_ref[inst, 12]
+                else:
+                    row = leaf_i
+                    feats = feats_w
+                    det_sign = None
+                accf = mxu_mt.mt_coef_visit_anyhit(
+                    tris_ref[row], feats, tnear_f, tl_f, block,
+                    jnp.float32(tmin), mxu_precision,
+                    det_sign=det_sign)
+                return jnp.maximum(
+                    hitf, mxu_mt.unflatten_rows(accf, sub))
+
+            mt_block = mt_block_mxu
 
         def cond(state):
             return state[0] >= 0
@@ -1409,21 +1515,35 @@ def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits"))
-def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
-                 mb_bits=0):
-    """Any-hit launch on the pair table; output one row per packet."""
+@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits",
+                                              "mxu"))
+def _pair_anyhit(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
+                 interpret=False, mb_bits=0, mxu=None):
+    """Any-hit launch on the pair table; output one row per packet.
+    ``mxu``/``inst_feat``: same contract as _pair_traverse."""
     n_rows = pairs.shape[0]
-    n_leaves, row_w = tris.shape
-    block = row_w // 9
+    if mxu:
+        n_leaves, _, cw = tris.shape
+        block = cw // 4
+        if cw % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, 0),
+                                  (0, _LANE - cw % _LANE)))
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
+    else:
+        n_leaves, row_w = tris.shape
+        block = row_w // 9
+        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        leaf_bytes = n_leaves * 512
     g, _, _, packet = rays.shape
     instanced = inst_inv is not None
 
     in_specs = [
         pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        tri_spec,
     ]
     args = [pairs, tris]
     if instanced:
@@ -1431,6 +1551,11 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
             pl.BlockSpec(inst_inv.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM))
         args.append(inst_inv)
+        if mxu:
+            in_specs.append(
+                pl.BlockSpec(inst_feat.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            args.append(inst_feat)
     in_specs.append(
         pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM))
@@ -1445,10 +1570,14 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, *, interpret=False,
     )
     kernel = _make_pair_anyhit_kernel(n_rows, block, packet, TMIN,
                                       instanced=instanced,
-                                      mb_bits=mb_bits)
-    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+                                      mb_bits=mb_bits,
+                                      mxu_precision=mxu)
+    need = (n_rows * 512 + leaf_bytes
+            + (12 if mxu else 4) * 1024 * 1024)
     if instanced:
         need += inst_inv.shape[0] * 512
+        if mxu:
+            need += inst_feat.shape[0] * 10 * _LANE * 4
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -1493,9 +1622,19 @@ def pallas_pair_any_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     inst = scene.inst_inv if getattr(scene, "instanced", False) else None
-    out = _pair_anyhit(scene.bvh_pair, scene.tri_blocks, rays, inst,
+    mxu = None
+    ifeat = None
+    if _mxu_active(scene, allow_instanced=True):
+        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
+
+        mxu = mxu_precision()
+        if inst is not None:
+            ifeat = scene.inst_feat
+    tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    out = _pair_anyhit(scene.bvh_pair, tri_table, rays, inst, ifeat,
                        interpret=interpret,
-                       mb_bits=getattr(scene, "mb_bits", 0))
+                       mb_bits=getattr(scene, "mb_bits", 0),
+                       mxu=mxu)
     hit = out[:, 0, 0, :].reshape(g * packet)[:n] > 0.5
     if active is not None:
         hit = hit & active
@@ -1847,23 +1986,39 @@ def pallas_oct_closest_hit(scene, origin, direction, active=None,
     return Hit(t=t, tri=tri, u=out[2], v=out[3])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits"))
-def _pair_traverse(pairs, tris, rays, inst_inv=None, *,
-                   interpret=False, mb_bits=0):
-    """pairs: (Ni, 16) f32; tris: (n_leaves, block*9) f32; rays:
-    (G, 1, 12, PACKET) f32; inst_inv: optional (I, 16) instance
-    inverse transforms.  Returns (G, 1, 4, PACKET) f32."""
+@functools.partial(jax.jit, static_argnames=("interpret", "mb_bits",
+                                              "mxu"))
+def _pair_traverse(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
+                   interpret=False, mb_bits=0, mxu=None):
+    """pairs: (Ni, 16) f32; tris: (n_leaves, block*9) f32 exact rows
+    or (n_leaves, 10, >=4*block) coefficient rows when ``mxu`` (a
+    Precision) is set; rays: (G, 1, 12, PACKET) f32; inst_inv:
+    optional (I, 16) instance inverse transforms; inst_feat: (I, 10,
+    16) feature-transform tiles (required iff instanced and mxu).
+    Returns (G, 1, 4, PACKET) f32."""
     n_rows = pairs.shape[0]
-    n_leaves, row_w = tris.shape
-    block = row_w // 9
+    if mxu:
+        n_leaves, _, cw = tris.shape
+        block = cw // 4
+        if cw % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, 0),
+                                  (0, _LANE - cw % _LANE)))
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
+    else:
+        n_leaves, row_w = tris.shape
+        block = row_w // 9
+        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        leaf_bytes = n_leaves * 512
     g, _, _, packet = rays.shape
     instanced = inst_inv is not None
 
     in_specs = [
         pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        tri_spec,
     ]
     args = [pairs, tris]
     if instanced:
@@ -1871,6 +2026,11 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, *,
             pl.BlockSpec(inst_inv.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM))
         args.append(inst_inv)
+        if mxu:
+            in_specs.append(
+                pl.BlockSpec(inst_feat.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            args.append(inst_feat)
     in_specs.append(
         pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM))
@@ -1884,10 +2044,15 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, *,
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
     )
     kernel = _make_pair_kernel(n_rows, block, packet, TMIN,
-                               instanced=instanced, mb_bits=mb_bits)
-    need = n_rows * 512 + n_leaves * 512 + 4 * 1024 * 1024
+                               instanced=instanced, mb_bits=mb_bits,
+                               mxu_precision=mxu)
+    # Per-visit MXU temps ((4B, P) result + feature matrices).
+    need = (n_rows * 512 + leaf_bytes
+            + (12 if mxu else 4) * 1024 * 1024)
     if instanced:
         need += inst_inv.shape[0] * 512
+        if mxu:
+            need += inst_feat.shape[0] * 10 * _LANE * 4
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -1909,13 +2074,17 @@ def pair_fits_vmem(scene, budget_bytes: int = None,
     if getattr(scene, "bvh_pair", None) is None or \
             scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
-    if scene.tri_blocks.shape[1] > _LANE:
+    mxu = _mxu_active(scene, allow_instanced=True)
+    if scene.tri_blocks.shape[1] > _LANE and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
-    need = (scene.bvh_pair.shape[0] * 512
-            + scene.tri_blocks.shape[0] * 512 + state)
+    leaf_bytes = (scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
+                  if mxu else scene.tri_blocks.shape[0] * 512)
+    need = scene.bvh_pair.shape[0] * 512 + leaf_bytes + state
+    if mxu and getattr(scene, "inst_feat", None) is not None:
+        need += scene.inst_feat.shape[0] * 10 * _LANE * 4
     return need < budget_bytes
 
 
@@ -1966,9 +2135,19 @@ def pallas_pair_closest_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     inst = scene.inst_inv if getattr(scene, "instanced", False) else None
-    out = _pair_traverse(scene.bvh_pair, scene.tri_blocks, rays, inst,
+    mxu = None
+    ifeat = None
+    if _mxu_active(scene, allow_instanced=True):
+        from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
+
+        mxu = mxu_precision()
+        if inst is not None:
+            ifeat = scene.inst_feat
+    tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    out = _pair_traverse(scene.bvh_pair, tri_table, rays, inst, ifeat,
                          interpret=interpret,
-                         mb_bits=getattr(scene, "mb_bits", 0))
+                         mb_bits=getattr(scene, "mb_bits", 0),
+                         mxu=mxu)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
