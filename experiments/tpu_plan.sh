@@ -46,11 +46,20 @@ BENCH_MODE=spp BENCH_TARGET_SPP=128 timeout 3000 python bench.py >> $L 2>&1
 step frontier-isolated-AB
 VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 
+step frontier-isolated-AB-highprec-tightguard
+VKPT_FRONTIER_PRECISION=high VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
 step frontier-isolated-AB-leaf28
-VARIANTS=frontier AB_LEAF=28 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+VKPT_FRONTIER_PRECISION=high VARIANTS=frontier AB_LEAF=28 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 
 step anyhit-isolated-AB
 VARIANTS=anyhit AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
+step headline-frontier
+VKPT_KERNEL_PRIMARY=frontier VKPT_KERNEL_SECONDARY=frontier timeout 2400 python bench.py >> $L 2>&1
+
+step headline-frontier-mxu-leaf28
+VKPT_KERNEL_PRIMARY=frontier VKPT_KERNEL_SECONDARY=frontier VKPT_MT=mxu VKPT_MXU_PRECISION=high VKPT_LEAF=28 timeout 2400 python bench.py >> $L 2>&1
 
 step headline-joint-AB
 BENCH_HEADLINE=joint timeout 2400 python bench.py >> $L 2>&1

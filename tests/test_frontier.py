@@ -248,6 +248,90 @@ def test_device_builder_matches_host(cols_dev):
                                   np.asarray(cols_dev.bvh_frontier))
 
 
+def test_frontier_anyhit_matches_closest(cols_dev):
+    """Any-hit mask == closest-hit's hit set (exact leaf MT accepts
+    the same triangles; the guard band only widens box visits)."""
+    from vulkan_pathtracer_tpu.ops.intersect import MISS_T
+    from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+        pallas_frontier_any_hit,
+    )
+
+    o, d = _rays(1200, seed=71)
+    rng = np.random.default_rng(4)
+    active = jnp.asarray(rng.random(1200) < 0.7)
+    ch = pallas_frontier_closest_hit(cols_dev, o, d, active,
+                                     interpret=True, packet=512)
+    want = (np.asarray(ch.t) < MISS_T) & np.asarray(active)
+    got = pallas_frontier_any_hit(cols_dev, o, d, active,
+                                  interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_frontier_anyhit_variants_match(cols_dev, monkeypatch):
+    """HBM-streamed leaves and the cond leaf fallback are bit-
+    identical to the drain/VMEM any-hit; the MXU leaf tier matches
+    within the relaxed budget."""
+    from vulkan_pathtracer_tpu.ops.mxu_mt import ensure_mt_coefs
+    from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+        pallas_frontier_any_hit,
+    )
+
+    o, d = _rays(800, seed=72)
+    ref = pallas_frontier_any_hit(cols_dev, o, d, interpret=True,
+                                  packet=512)
+    hbm = pallas_frontier_any_hit(cols_dev, o, d, interpret=True,
+                                  packet=512, hbm_leaves=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(hbm))
+    monkeypatch.setenv("VKPT_FRONTIER_LEAF", "cond")
+    cnd = pallas_frontier_any_hit(cols_dev, o, d, interpret=True,
+                                  packet=512)
+    monkeypatch.delenv("VKPT_FRONTIER_LEAF")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(cnd))
+    dev = ensure_mt_coefs(cols_dev)
+    monkeypatch.setenv("VKPT_MT", "mxu")
+    mxu = pallas_frontier_any_hit(dev, o, d, interpret=True,
+                                  packet=512)
+    flips = np.asarray(ref) != np.asarray(mxu)
+    assert flips.mean() <= 0.002, flips.mean()
+
+
+def test_anyhit_dispatch_frontier(cols_dev, monkeypatch):
+    """VKPT_ANYHIT_KERNEL=frontier routes _any_hit through the
+    frontier any-hit kernel and matches the closest-hit mask."""
+    from vulkan_pathtracer_tpu.ops.intersect import MISS_T
+    from vulkan_pathtracer_tpu.ops.traverse import bvh_closest_hit
+    from vulkan_pathtracer_tpu.render.wavefront import _any_hit
+
+    o, d = _rays(700, seed=73)
+    want = np.asarray(bvh_closest_hit(cols_dev, o, d).t) < MISS_T
+    monkeypatch.setenv("VKPT_ANYHIT_KERNEL", "frontier")
+    monkeypatch.setenv("VKPT_FRONTIER_PACKET", "512")
+    got = _any_hit(cols_dev, o, d, None, "pallas")
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_device_rebuild_nulls_frontier_tables(columns_glb):
+    """A full on-device rebuild changes topology; there is no device
+    16-ary collapse, so the stale frontier tables must be NULLED
+    (else VKPT_KERNEL_*=frontier would traverse the pre-rebuild
+    tree's boxes and links) and the fits gate must reject."""
+    from vulkan_pathtracer_tpu.ops.device_build import (
+        device_rebuild_scene,
+    )
+
+    host = gltf.load(columns_glb)
+    template = build_device_scene(host, build_bvh=True)
+    assert template.bvh_frontier is not None
+    shift = jnp.asarray(np.array([0.7, -0.3, 0.4], np.float32))
+    rebuilt = device_rebuild_scene(
+        template, template.tri_v0 + shift, template.tri_e1,
+        template.tri_e2, template.tri_gn, template.tri_attr)
+    assert rebuilt.bvh_frontier is None
+    assert rebuilt.bvh_frontier_src is None
+    assert not frontier_fits_vmem(rebuilt)
+    assert not frontier_hbm_fits(rebuilt)
+
+
 def test_wavefront_dispatch_frontier(cols_dev, monkeypatch):
     """VKPT_KERNEL_SECONDARY=frontier routes _closest_hit through the
     frontier kernel and still matches the XLA traversal."""

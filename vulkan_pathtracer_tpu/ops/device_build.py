@@ -462,11 +462,15 @@ def device_rebuild_scene(template, tri_v0, tri_e1, tri_e2, tri_gn,
         bvh_quad=quad,
         bvh_quad_src=qsrc,
         bvh_quad_enc=qenc,
-        # No device oct collapse: null the stale host tables so the
-        # oct tiers simply don't dispatch on a rebuilt scene.
+        # No device oct/frontier collapse: null the stale host tables
+        # so those tiers simply don't dispatch on a rebuilt scene (a
+        # stale table would traverse the OLD topology's boxes/links).
         bvh_oct=None,
         bvh_oct_src=None,
         bvh_oct_enc=None,
+        bvh_frontier=None,
+        bvh_frontier_src=None,
+        bvh_frontier_enc=None,
         tri_blocks=flat.reshape(n_slots // block, block * 9),
         # Rebuilt geometry invalidates the MXU leaf coefficients —
         # regenerate on device iff the template carried them (stale

@@ -112,7 +112,24 @@ _SORT16 = _batcher_oem(FRONTIER_WIDTH)
 
 
 def _guard() -> float:
-    return float(os.environ.get("VKPT_FRONTIER_GUARD", 2.0 ** -7))
+    """Guard-band scale, baked into the tiles at BUILD time.
+
+    Default keys off VKPT_FRONTIER_PRECISION: DEFAULT (1 bf16 pass)
+    needs 2^-7 (~2x the bf16 product error bound); HIGH/HIGHEST
+    (3/6 passes ~ f32) need only 2^-12 — the host sim measured the
+    2^-7 band at +15% super-visits / +35% leaf visits vs +1.4%/+5%
+    at 2^-12 (experiments/frontier_sim.py), so a tight band is the
+    difference between a real and a nullified node-phase win.
+    CONSISTENCY: tiles baked under a HIGH/HIGHEST env must not be
+    dispatched at DEFAULT precision (the baked band would be too
+    small for 1-pass rounding) — set both envs once per run, or pin
+    VKPT_FRONTIER_GUARD explicitly."""
+    env = os.environ.get("VKPT_FRONTIER_GUARD")
+    if env is not None:
+        return float(env)
+    name = os.environ.get("VKPT_FRONTIER_PRECISION",
+                          "default").lower()
+    return 2.0 ** -7 if name == "default" else 2.0 ** -12
 
 
 def frontier_precision():
@@ -585,6 +602,369 @@ def _frontier_traverse(nodes, tris, rays, *, interpret=False,
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(nodes, tris, rays)
+
+
+def _make_frontier_anyhit_kernel(n_rows: int, block: int, packet: int,
+                                 tmin: float, hbm_leaves: bool = False,
+                                 mxu_precision=None,
+                                 node_precision=None,
+                                 leaf_mode: str = "drain"):
+    """ANY-HIT frontier kernel: resolved lanes stop driving descent
+    (their far plane drops to -1 before the node matmul), any
+    accepting triangle resolves a lane, traversal ends when the
+    shared stack drains.  Same node-matmul / SMEM-drain structure as
+    the closest-hit kernel; same options."""
+    from vulkan_pathtracer_tpu.ops import mxu_mt
+
+    sub = packet // _LANE
+    w = FRONTIER_WIDTH
+    mxu = mxu_precision is not None
+    if node_precision is None:
+        node_precision = jax.lax.Precision.HIGHEST
+
+    def kernel(nodes_ref, tris_ref, rays_ref, out_ref, stack_ref,
+               q_ref, qn_ref, mins_ref, *rest):
+        leaf_scratch = leaf_sems = None
+        if hbm_leaves:
+            leaf_scratch, leaf_sems = rest
+        comps = [rays_ref[0, 0, i, :].reshape(sub, _LANE)
+                 for i in range(12)]
+        eps = jnp.float32(1e-20)
+
+        def sinv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < eps,
+                                   jnp.where(d >= 0, eps, -eps), d)
+
+        ox, oy, oz = comps[0], comps[1], comps[2]
+        dx, dy, dz = comps[3], comps[4], comps[5]
+        tl = comps[6]
+        ix, iy, iz = sinv(dx), sinv(dy), sinv(dz)
+        tnear = jnp.maximum(comps[11], jnp.float32(tmin))
+        big = jnp.float32(PAIR_BIG)
+        hit0 = jnp.where(tl < 0.0, jnp.float32(1.0), jnp.float32(0.0))
+
+        flat = mxu_mt.flatten_rows
+        feats = jnp.concatenate(
+            [flat(ix), flat(iy), flat(iz),
+             flat(-(ox * ix)), flat(-(oy * iy)), flat(-(oz * iz)),
+             jnp.zeros((2, sub * _LANE), jnp.float32)],
+            axis=0)
+        tnear_f = flat(tnear)
+        if mxu:
+            mfeats = mxu_mt.packet_features(ox, oy, oz, dx, dy, dz)
+            tl_f = flat(tl)
+
+        def leaf_visit(row, slot, hitf):
+            if hbm_leaves:
+                pltpu.make_async_copy(
+                    tris_ref.at[row],
+                    leaf_scratch.at[slot],
+                    leaf_sems.at[slot],
+                ).wait()
+            if mxu:
+                coef = (leaf_scratch[slot] if hbm_leaves
+                        else tris_ref[row])
+                accf = mxu_mt.mt_coef_visit_anyhit(
+                    coef, mfeats, tnear_f, tl_f, block,
+                    jnp.float32(tmin), mxu_precision)
+                return jnp.maximum(hitf,
+                                   mxu_mt.unflatten_rows(accf, sub))
+            if hbm_leaves:
+                tread = lambda base: leaf_scratch[slot, base]
+            else:
+                tread = lambda base: tris_ref[row, base]
+            for k in range(block):
+                base = k * 9
+                v0x = tread(base + 0)
+                v0y = tread(base + 1)
+                v0z = tread(base + 2)
+                e1x = tread(base + 3)
+                e1y = tread(base + 4)
+                e1z = tread(base + 5)
+                e2x = tread(base + 6)
+                e2y = tread(base + 7)
+                e2z = tread(base + 8)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                front = det > 0.0
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                acc = (front & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (t < tl))
+                hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
+            return hitf
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            cur, sp, hitf = state
+            tile = nodes_ref[cur]
+            # Resolved lanes leave the union: far plane -> -1.
+            tlim_f = flat(jnp.where(hitf > 0.5, jnp.float32(-1.0), tl))
+            res = jax.lax.dot_general(
+                tile, feats, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=node_precision)
+            tx0 = res[0 * w:1 * w]
+            ty0 = res[1 * w:2 * w]
+            tz0 = res[2 * w:3 * w]
+            tx1 = res[3 * w:4 * w]
+            ty1 = res[4 * w:5 * w]
+            tz1 = res[5 * w:6 * w]
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1),
+                            jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), tnear_f))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1),
+                            jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), tlim_f))
+            entry = jnp.where(tn <= tf, tn, big)
+            m = jnp.min(entry, axis=1, keepdims=True)
+            mins_ref[...] = jnp.broadcast_to(m, (w, _LANE))
+            ms = [mins_ref[s, 0] for s in range(w)]
+            encs = [nodes_ref[cur, 6, s] for s in range(w)]
+            hits = [ms[s] < big for s in range(w)]
+            leafs = [e < 0.0 for e in encs]
+
+            if leaf_mode == "cond":
+                if hbm_leaves:
+                    for s in range(w):
+                        @pl.when(jnp.logical_and(hits[s], leafs[s]))
+                        def _(s=s):
+                            row = (-encs[s]).astype(jnp.int32) - 1
+                            pltpu.make_async_copy(
+                                tris_ref.at[row],
+                                leaf_scratch.at[s],
+                                leaf_sems.at[s],
+                            ).start()
+                for s in range(w):
+                    hitf = jax.lax.cond(
+                        jnp.logical_and(hits[s], leafs[s]),
+                        functools.partial(
+                            lambda e, h, s=s: leaf_visit(
+                                (-e).astype(jnp.int32) - 1, s, h),
+                            encs[s]),
+                        lambda h: h,
+                        hitf,
+                    )
+            else:
+                qn_ref[0] = 0
+                for s in range(w):
+                    @pl.when(jnp.logical_and(hits[s], leafs[s]))
+                    def _(s=s):
+                        qi = qn_ref[0]
+                        row = (-encs[s]).astype(jnp.int32) - 1
+                        q_ref[qi] = row
+                        if hbm_leaves:
+                            pltpu.make_async_copy(
+                                tris_ref.at[row],
+                                leaf_scratch.at[qi],
+                                leaf_sems.at[qi],
+                            ).start()
+                        qn_ref[0] = qi + 1
+                qn_total = qn_ref[0]
+
+                def dcond(st):
+                    return st[0] < qn_total
+
+                def dbody(st):
+                    return (st[0] + 1,
+                            leaf_visit(q_ref[st[0]], st[0], st[1]))
+
+                _, hitf = jax.lax.while_loop(
+                    dcond, dbody, (jnp.int32(0), hitf))
+
+            keys = [jnp.where(
+                jnp.logical_and(hits[s], jnp.logical_not(leafs[s])),
+                ms[s], big) for s in range(w)]
+            ks = list(keys)
+            cs = [e.astype(jnp.int32) for e in encs]
+
+            def cswap(a, b):
+                lt = ks[a] <= ks[b]
+                ka = jnp.where(lt, ks[a], ks[b])
+                kb = jnp.where(lt, ks[b], ks[a])
+                ca = jnp.where(lt, cs[a], cs[b])
+                cb = jnp.where(lt, cs[b], cs[a])
+                ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
+
+            for a, b in _SORT16:
+                cswap(a, b)
+
+            live = [k < big for k in ks]
+            pos = [None] * w
+            p = sp
+            for s in range(w - 1, 0, -1):
+                pos[s] = p
+                p = p + live[s].astype(jnp.int32)
+            sp_pushed = p
+
+            for s in range(w - 1, 0, -1):
+                @pl.when(live[s])
+                def _(s=s):
+                    stack_ref[pos[s]] = cs[s]
+
+            desc = live[0]
+            popped = stack_ref[jnp.maximum(sp_pushed - 1, 0)]
+            can_pop = sp_pushed > 0
+            cur_new = jnp.where(
+                desc, cs[0],
+                jnp.where(can_pop, popped, jnp.int32(-1)))
+            sp_new = jnp.where(desc, sp_pushed,
+                               jnp.maximum(sp_pushed - 1, 0))
+            return (cur_new, sp_new, hitf)
+
+        init = (jnp.int32(0), jnp.int32(0), hit0)
+        _, _, hitf = jax.lax.while_loop(cond, body, init)
+        flat_h = hitf.reshape(-1)
+        out_ref[0, 0, 0, :] = flat_h
+        out_ref[0, 0, 1, :] = flat_h
+        out_ref[0, 0, 2, :] = flat_h
+        out_ref[0, 0, 3, :] = flat_h
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "hbm_leaves", "mxu",
+                              "node_precision", "leaf_mode"))
+def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
+                     hbm_leaves=False, mxu=None,
+                     node_precision=None, leaf_mode="drain"):
+    """Any-hit launch: same table/ray layout as _frontier_traverse,
+    output one resolved-flag row per packet (written to all 4 out
+    rows)."""
+    n_rows = nodes.shape[0]
+    if mxu:
+        n_leaves, _, cw = tris.shape
+        block = cw // 4
+        if cw % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, 0),
+                                  (0, _LANE - cw % _LANE)))
+        row_w = tris.shape[2]
+        leaf_row_bytes = 10 * row_w * 4
+    else:
+        n_leaves, row_w = tris.shape
+        block = row_w // 9
+        leaf_row_bytes = 512
+    g, _, _, packet = rays.shape
+
+    if hbm_leaves:
+        if not mxu and row_w % _LANE:
+            tris = jnp.pad(tris, ((0, 0), (0, _LANE - row_w % _LANE)))
+            row_w = tris.shape[1]
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+    elif mxu:
+        tri_spec = pl.BlockSpec((n_leaves, 10, row_w),
+                                lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    w = FRONTIER_WIDTH
+    scratch_shapes = [
+        pltpu.SMEM((_FSTACK,), jnp.int32),
+        pltpu.SMEM((w,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.VMEM((w, _LANE), jnp.float32),
+    ]
+    if hbm_leaves:
+        slot_shape = (w, 10, row_w) if mxu else (w, row_w)
+        scratch_shapes += [
+            pltpu.VMEM(slot_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((w,)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n_rows, 8, _LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tri_spec,
+            pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, packet),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+    )
+    kernel = _make_frontier_anyhit_kernel(
+        n_rows, block, packet, TMIN, hbm_leaves=hbm_leaves,
+        mxu_precision=mxu, node_precision=node_precision,
+        leaf_mode=leaf_mode)
+    leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_bytes
+    margin = (16 if mxu else 8) * 1024 * 1024
+    need = n_rows * 8 * _LANE * 4 + leaf_resident + margin
+    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 1, 4, packet), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(nodes, tris, rays)
+
+
+def pallas_frontier_any_hit(scene, origin, direction, active=None,
+                            interpret=False, packet: int = None,
+                            hbm_leaves: bool = False) -> jnp.ndarray:
+    """Any-hit query via the frontier kernel (opt-in,
+    VKPT_ANYHIT_KERNEL=frontier): (N,) bool, True exactly where a
+    closest-hit would report a hit.  Guard-banded nodes only widen
+    the visit set; the leaf accept is the exact MT (or the det-scaled
+    MXU tier under VKPT_MT=mxu)."""
+    n = origin.shape[0]
+    if packet is None:
+        packet = int(os.environ.get("VKPT_FRONTIER_PACKET", "2048"))
+    mxu, hbm_leaves = _frontier_mxu_dispatch(scene, hbm_leaves)
+    t_lane = jnp.full((n,), jnp.float32(TMAX))
+    if active is not None:
+        t_lane = jnp.where(active, t_lane, jnp.float32(-1.0))
+    pad = (-n) % packet
+    total = n + pad
+    g = total // packet
+
+    def pad1(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    rays = jnp.stack(
+        [
+            pad1(origin[:, 0]), pad1(origin[:, 1]), pad1(origin[:, 2]),
+            pad1(direction[:, 0]), pad1(direction[:, 1]),
+            pad1(direction[:, 2]),
+            pad1(t_lane, -1.0),
+            pad1(zeros), pad1(zeros), pad1(zeros), pad1(zeros),
+            pad1(zeros),
+        ],
+        axis=0,
+    ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
+
+    tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    out = _frontier_anyhit(
+        scene.bvh_frontier, tri_table, rays, interpret=interpret,
+        hbm_leaves=hbm_leaves, mxu=mxu,
+        node_precision=frontier_precision(),
+        leaf_mode=os.environ.get("VKPT_FRONTIER_LEAF", "drain"))
+    hit = out[:, 0, 0, :].reshape(g * packet)[:n] > 0.5
+    if active is not None:
+        hit = hit & active
+    return hit
 
 
 def _frontier_mxu_dispatch(scene, hbm_leaves):

@@ -407,6 +407,26 @@ def _any_hit(scene, origin, direction, active, traversal: str):
 
         pk = int(_os.environ.get("VKPT_ANYHIT_PACKET", 2048))
         if not getattr(scene, "instanced", False):
+            if _os.environ.get("VKPT_ANYHIT_KERNEL") == "frontier":
+                # Opt-in 16-wide MXU node-phase any-hit (pending TPU
+                # measurement, like VKPT_KERNEL_*=frontier).
+                from vulkan_pathtracer_tpu.ops.pallas_frontier import (
+                    frontier_fits_vmem,
+                    frontier_hbm_fits,
+                    pallas_frontier_any_hit,
+                )
+
+                fpk = int(_os.environ.get("VKPT_FRONTIER_PACKET",
+                                          2048))
+                if frontier_fits_vmem(scene, packet=fpk):
+                    return pallas_frontier_any_hit(
+                        scene, origin, direction, active,
+                        interpret=not on_tpu, packet=fpk)
+                if frontier_hbm_fits(scene, packet=fpk):
+                    return pallas_frontier_any_hit(
+                        scene, origin, direction, active,
+                        interpret=not on_tpu, packet=fpk,
+                        hbm_leaves=True)
             if quad_fits_vmem(scene, packet=pk):
                 return pallas_quad_any_hit(scene, origin, direction,
                                            active,
