@@ -99,6 +99,34 @@ def test_tiled_render_pallas_kernel_matches(box_dev, monkeypatch):
     assert float(rays_sharded) == float(rays_single)
 
 
+def test_tiled_render_frontier_kernel_matches(box_dev, monkeypatch):
+    """The opt-in frontier kernel (VKPT_KERNEL_*=frontier) inside
+    shard_map must match the single-chip frontier render exactly."""
+    monkeypatch.setenv("VKPT_KERNEL_PRIMARY", "frontier")
+    monkeypatch.setenv("VKPT_KERNEL_SECONDARY", "frontier")
+    monkeypatch.setenv("VKPT_FRONTIER_PACKET", "256")
+    mesh = make_render_mesh(4)
+    dev = replicate_scene(box_dev, mesh)
+    cam = Camera(aspect_ratio=1.0, position=np.array([0, 0, -3], np.float32))
+    pos, hor, ver, fwd = (jnp.asarray(v) for v in cam.push_constants())
+
+    height, width = 16, 16
+    sharded = make_sharded_render(
+        mesh, dev, num_samples=1, num_bounces=2,
+        width=width, height=height, traversal="pallas",
+    )
+    img_sharded, rays_sharded = sharded(dev, pos, hor, ver, fwd,
+                                        jnp.uint32(0))
+    img_single, rays_single = render_frame(
+        box_dev, pos, hor, ver, fwd, jnp.uint32(0),
+        num_samples=1, num_bounces=2, width=width, height=height,
+        traversal="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(img_sharded),
+                                  np.asarray(img_single))
+    assert float(rays_sharded) == float(rays_single)
+
+
 def test_tiled_render_mxu_tier_matches(request, monkeypatch):
     """The MXU leaf tier (VKPT_MT=mxu) inside shard_map: the exact
     same zero-coverage trap round 2 hit with the packet kernel —
