@@ -66,6 +66,9 @@ def run(kernel_body, name, table, vec):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "frontier":
+        frontier_visit_bench()  # just the round-4 model validation
+        return
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.random((4096, 128)).astype(np.float32))
     vec = jnp.asarray(rng.random((1, 2048)).astype(np.float32))
@@ -217,6 +220,133 @@ def main():
         return s, x
 
     run(grouped_row, "row: grouped 4+cond(25% rest)", table, vec)
+
+    frontier_visit_bench()
+
+
+def frontier_visit_bench():
+    """Measure the frontier kernel's per-NODE-VISIT cost in isolation
+    (the round-4 cycle model's unvalidated guess — ROADMAP round-4
+    finding 1): a while-loop whose body is the real node visit minus
+    leaves, at stages (a) matmul only, (b) + slab epilogue + batched
+    16-child min, (c) + scalar mins/enc reads + 63-comparator sort +
+    stack push/pop, at DEFAULT and HIGHEST matmul precision."""
+    w = 16
+    pk = 2048
+    iters = ITERS // 10  # heavier body than the primitive benches
+    rng = np.random.default_rng(1)
+    tiles = jnp.asarray(rng.random((512, 8, 128)).astype(np.float32))
+    feats = jnp.asarray(rng.random((8, pk)).astype(np.float32))
+    from vulkan_pathtracer_tpu.ops.pallas_frontier import _SORT16
+
+    def make(stage, precision):
+        def kernel(tiles_ref, feats_ref, out_ref, mins_ref, stack_ref):
+            fts = feats_ref[...]
+
+            def body(state):
+                i, vacc = state
+                tile = tiles_ref[i & 511]
+                res = jax.lax.dot_general(
+                    tile, fts, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                if stage == "matmul":
+                    return i + 1, vacc + res[:16, :128]
+                tx0 = res[0 * w:1 * w]
+                ty0 = res[1 * w:2 * w]
+                tz0 = res[2 * w:3 * w]
+                tx1 = res[3 * w:4 * w]
+                ty1 = res[4 * w:5 * w]
+                tz1 = res[5 * w:6 * w]
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                entry = jnp.where(tn <= tf, tn, jnp.float32(1e30))
+                m = jnp.min(entry, axis=1, keepdims=True)
+                if stage == "epilogue":
+                    return i + 1, vacc + jnp.broadcast_to(m, (16, 128))
+                mins_ref[...] = jnp.broadcast_to(m, (w, 128))
+                ms = [mins_ref[s, 0] for s in range(w)]
+                encs = [tiles_ref[i & 511, 6, s] for s in range(w)]
+                big = jnp.float32(1e30)
+                ks = [jnp.where(ms[s] < big, ms[s], big)
+                      for s in range(w)]
+                cs = [e.astype(jnp.int32) for e in encs]
+
+                def cswap(a, b):
+                    lt = ks[a] <= ks[b]
+                    ka = jnp.where(lt, ks[a], ks[b])
+                    kb = jnp.where(lt, ks[b], ks[a])
+                    ca = jnp.where(lt, cs[a], cs[b])
+                    cb = jnp.where(lt, cs[b], cs[a])
+                    ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
+
+                for a, b in _SORT16:
+                    cswap(a, b)
+                live = [k < big for k in ks]
+                p = jnp.int32(0)
+                pos = [None] * w
+                for s in range(w - 1, 0, -1):
+                    pos[s] = p
+                    p = p + live[s].astype(jnp.int32)
+                for s in range(w - 1, 0, -1):
+                    @pl.when(live[s])
+                    def _(s=s):
+                        stack_ref[pos[s]] = cs[s]
+                popped = stack_ref[jnp.maximum(p - 1, 0)]
+                return (i + 1 + 0 * popped,
+                        vacc + jnp.broadcast_to(m, (16, 128)))
+
+            def cond(state):
+                return state[0] < iters
+
+            _, vacc = jax.lax.while_loop(
+                cond, body, (jnp.int32(0),
+                             jnp.zeros((16, 128), jnp.float32)))
+            out_ref[...] = vacc
+
+        @jax.jit
+        def go(tiles, feats):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((w, 128), jnp.float32),
+                    pltpu.SMEM((256,), jnp.int32),
+                ],
+                interpret=os.environ.get("VKPT_PLATFORM") == "cpu",
+            )(tiles, feats)
+
+        return go
+
+    for stage in ("matmul", "epilogue", "full"):
+        for pname, prec in (("default", jax.lax.Precision.DEFAULT),
+                            ("highest", jax.lax.Precision.HIGHEST)):
+            try:
+                go = make(stage, prec)
+                out = go(tiles, feats)
+                _ = float(out.sum())
+                best = 9e9
+                for _ in range(5):
+                    t0 = time.time()
+                    out = go(tiles, feats)
+                    _ = float(out.sum())
+                    best = min(best, time.time() - t0)
+                cyc = best * 0.94e9 / iters
+                print(f"frontier visit [{stage:8s} {pname}]: "
+                      f"{best*1000:.2f} ms ({cyc:.0f} cyc/iter)",
+                      flush=True)
+            except Exception as e:
+                print(f"frontier visit [{stage} {pname}]: FAIL "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

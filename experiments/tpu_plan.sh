@@ -25,6 +25,9 @@ step frontier-smoke
 timeout 1200 python experiments/frontier_smoke.py >> $L 2>&1
 timeout 1200 env AB_LEAF=28 python experiments/frontier_smoke.py >> $L 2>&1
 
+step frontier-visit-microbench
+timeout 1200 python experiments/mosaic_costs.py frontier >> $L 2>&1
+
 step mxu-isolated-AB
 VARIANTS=mxu AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 

@@ -712,9 +712,17 @@ def build_device_scene(scene: Scene, build_bvh: bool = True,
                 frontier_static_maps,
             )
 
-            dev.bvh_frontier = jnp.asarray(
-                build_frontier_rows(bvh, max_leaf_size))
-            fsrc, fenc = frontier_static_maps(bvh, max_leaf_size)
-            dev.bvh_frontier_src = jnp.asarray(fsrc)
-            dev.bvh_frontier_enc = jnp.asarray(fenc)
+            ftiles = build_frontier_rows(bvh, max_leaf_size)
+            # Skip the upload when the node table could never fit
+            # VMEM anyway (4 KB/tile; frontier streams only LEAVES
+            # from HBM) — a multi-M-tri bake would otherwise push
+            # hundreds of MB through the relay for a tier whose fit
+            # gate rejects it.
+            budget = int(os.environ.get("VKPT_VMEM_BUDGET",
+                                        100 * 1024 * 1024))
+            if ftiles.nbytes + 8 * 1024 * 1024 <= budget:
+                dev.bvh_frontier = jnp.asarray(ftiles)
+                fsrc, fenc = frontier_static_maps(bvh, max_leaf_size)
+                dev.bvh_frontier_src = jnp.asarray(fsrc)
+                dev.bvh_frontier_enc = jnp.asarray(fenc)
     return dev
