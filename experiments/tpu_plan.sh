@@ -1,12 +1,20 @@
 #!/bin/bash
-# Round-3 TPU measurement plan — run when the relay recovers.
+# Round-3/4 TPU measurement plan — run when the relay recovers.
 # Ordered by decision value: the MXU/leaf-28 steps decide whether the
-# round's bench defaults flip; the any-hit/backlog ABs are evidence.
+# round's bench defaults flip; frontier steps decide the round-4
+# node-phase bet; the any-hit/backlog ABs are evidence.
 cd /root/repo
 L=/tmp/tpu_plan.log
 echo "=== plan start $(date -u +%H:%M:%S) ===" >> $L
 
-step() { echo "--- $1 ($(date -u +%H:%M:%S)) ---" >> $L; }
+# Mirror the log into the repo after every step: the round driver
+# commits uncommitted files at round end, so results survive even if
+# the plan finishes unattended.
+SNAP=experiments/tpu_plan_results.log
+step() {
+  echo "--- $1 ($(date -u +%H:%M:%S)) ---" >> $L
+  cp "$L" "$SNAP" 2>/dev/null
+}
 
 step sanity
 timeout 600 python -c "
@@ -92,3 +100,4 @@ step config3-cornell-8b-rr
 timeout 1800 python -m vulkan_pathtracer_tpu -s /tmp/plan_cornell.glb -x 512 -y 512 -c 4 -b 8 --russian-roulette --frames 6 -o /tmp/plan_c3.png >> $L 2>&1
 
 echo "=== appended config steps done $(date -u +%H:%M:%S) ===" >> $L
+cp "$L" "$SNAP" 2>/dev/null
