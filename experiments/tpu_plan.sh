@@ -60,6 +60,9 @@ VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab
 step frontier-isolated-AB-highprec-tightguard
 VKPT_FRONTIER_PRECISION=high VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 
+step frontier-isolated-AB-width32
+VKPT_FRONTIER_WIDTH=32 VKPT_FRONTIER_PRECISION=high VARIANTS=frontier AB_LEAF=14 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
+
 step frontier-isolated-AB-leaf28
 VKPT_FRONTIER_PRECISION=high VARIANTS=frontier AB_LEAF=28 REPS=4 timeout 2400 python experiments/leaf_gate_ab.py 4.1 >> $L 2>&1
 

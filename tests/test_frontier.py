@@ -310,6 +310,30 @@ def test_anyhit_dispatch_frontier(cols_dev, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_frontier_width32_matches(columns_glb, monkeypatch):
+    """VKPT_FRONTIER_WIDTH=32 (the host-sim visit winner): tiles bake
+    at (8, 256), the kernel infers the width from the tables, and
+    results still match the XLA traversal; the device refit twin
+    reproduces the host tiles at the wider layout too."""
+    from vulkan_pathtracer_tpu.ops.refit import refit_scene
+
+    monkeypatch.setenv("VKPT_FRONTIER_WIDTH", "32")
+    scene = gltf.load(columns_glb)
+    dev = build_device_scene(scene, build_bvh=True)
+    assert dev.bvh_frontier.shape[1:] == (8, 256)
+    assert dev.bvh_frontier_src.shape[1] == 32
+    o, d = _rays(1100, seed=81)
+    ref = bvh_closest_hit(dev, o, d)
+    got = pallas_frontier_closest_hit(dev, o, d, interpret=True,
+                                      packet=512)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
+    same = refit_scene(dev)
+    np.testing.assert_array_equal(np.asarray(same.bvh_frontier),
+                                  np.asarray(dev.bvh_frontier))
+
+
 def test_device_rebuild_nulls_frontier_tables(columns_glb):
     """A full on-device rebuild changes topology; there is no device
     16-ary collapse, so the stale frontier tables must be NULLED

@@ -29,7 +29,14 @@ scales with width:
   for the quad MXU tier); VKPT_FRONTIER_LEAF=cond keeps the quad
   kernel's cond-chain shape as a fallback.
 
-Tile layout (8 sublanes x 128 lanes), w = 16 slots:
+The collapse width is configurable (VKPT_FRONTIER_WIDTH = 16/32/64 at
+bake; the kernels infer it from the baked tables).  Host sim: w=32
+gives ~1.75x fewer super-visits than w=16 at flat box-test totals
+(ROADMAP round-4 findings; w=64 regressed) — the matmul lanes and the
+scalar sort grow with width, so the choice is a hardware A/B.
+
+Tile layout (8 sublanes x lane_w lanes; shown for w = 16 slots,
+lane_w = 128):
 
   lanes [0:16) [16:32) [32:48) [48:64) [64:80) [80:96)  [96:128)
         lo_x    lo_y    lo_z    hi_x    hi_y    hi_z     pad
@@ -82,12 +89,31 @@ from vulkan_pathtracer_tpu.ops.pallas_pair import (
 )
 
 _LANE = 128
-FRONTIER_WIDTH = 16
-# A 16-ary collapse folds 4 binary levels per frontier level, so the
-# collapsed depth is <= ceil(STACK_CAP / 4) + 1; the packet-shared
-# stack holds at most width-1 deferred entries per level.  STACK_CAP
-# // 2 per level is a 2x safety margin over the bound.
-_FSTACK = (FRONTIER_WIDTH - 1) * (STACK_CAP // 2)
+FRONTIER_WIDTH = 16  # default; override at bake with VKPT_FRONTIER_WIDTH
+
+
+def frontier_width() -> int:
+    """Collapse width baked into the tiles (16, 32, or 64).  The host
+    sim (experiments/frontier_sim.py + ROADMAP round-4 findings)
+    measured w=32 at ~1.75x fewer super-visits than w=16 with flat
+    box-test totals (w=64 regressed); the per-visit matmul doubles in
+    lanes and the scalar sort grows (63 -> 191 comparators), so the
+    width choice is a hardware A/B."""
+    return int(os.environ.get("VKPT_FRONTIER_WIDTH", FRONTIER_WIDTH))
+
+
+def _lane_w(width: int) -> int:
+    """Tile lane width: 6*width plane columns padded to a lane tile."""
+    return -(-6 * width // _LANE) * _LANE
+
+
+def _fstack(width: int) -> int:
+    """A width-ary collapse folds log2(width) binary levels per
+    frontier level, so the collapsed depth is <= ceil(STACK_CAP /
+    log2(width)) + 1; the packet-shared stack holds at most width-1
+    deferred entries per level.  STACK_CAP // 2 per level is a >2x
+    safety margin over the bound for every supported width."""
+    return (width - 1) * (STACK_CAP // 2)
 
 
 def _batcher_oem(n):
@@ -141,9 +167,8 @@ def frontier_precision():
     }[name]
 
 
-def _base_tile() -> np.ndarray:
-    w = FRONTIER_WIDTH
-    base = np.zeros((8, 8 * w), np.float32)
+def _base_tile(w: int) -> np.ndarray:
+    base = np.zeros((8, _lane_w(w)), np.float32)
     for a in range(3):
         base[a, a * w:(a + 1) * w] = np.nan          # empty: NaN plane
         base[a, (3 + a) * w:(4 + a) * w] = np.nan
@@ -153,21 +178,22 @@ def _base_tile() -> np.ndarray:
     return base
 
 
-def build_frontier_rows(bvh, block: int, guard: float = None
-                        ) -> np.ndarray:
-    """(Nw, 8, 128) f32 coefficient tiles for a 16-ary collapse of the
-    binary tree (see module docstring for the layout).  ``guard``
-    dilates each child box by guard * (|b| + |root|) per axis so
-    low-precision matmul rounding can never turn a hit into a miss."""
+def build_frontier_rows(bvh, block: int, guard: float = None,
+                        width: int = None) -> np.ndarray:
+    """(Nw, 8, lane_w) f32 coefficient tiles for a width-ary collapse
+    of the binary tree (see module docstring for the layout; lane_w =
+    6*width padded to a lane tile).  ``guard`` dilates each child box
+    by guard * (|b| + |root|) per axis so low-precision matmul
+    rounding can never turn a hit into a miss."""
     from vulkan_pathtracer_tpu.ops.bvh import tree_depth
 
     _assert_depth(tree_depth(bvh), "build frontier rows")
     if guard is None:
         guard = _guard()
-    w = FRONTIER_WIDTH
+    w = frontier_width() if width is None else width
     super_row, children = _nary_collapse(bvh, w)
     nw = len(children)
-    tiles = np.tile(_base_tile()[None], (nw, 1, 1))
+    tiles = np.tile(_base_tile(w)[None], (nw, 1, 1))
     R = np.maximum(np.abs(bvh.bmin[0]), np.abs(bvh.bmax[0]))
     for node, kids in children:
         r = super_row[node]
@@ -188,11 +214,11 @@ def build_frontier_rows(bvh, block: int, guard: float = None
     return tiles
 
 
-def frontier_static_maps(bvh, block: int):
+def frontier_static_maps(bvh, block: int, width: int = None):
     """Static (src, enc) maps for device-side tile regeneration after
-    refit: src (Nw, 16) int32 build-order node ids per slot (-1 =
-    empty); enc (Nw, 16) f32 with build_frontier_rows' encoding."""
-    w = FRONTIER_WIDTH
+    refit: src (Nw, width) int32 build-order node ids per slot (-1 =
+    empty); enc (Nw, width) f32 with build_frontier_rows' encoding."""
+    w = frontier_width() if width is None else width
     super_row, children = _nary_collapse(bvh, w)
     nw = len(children)
     src = np.full((nw, w), -1, np.int32)
@@ -212,10 +238,11 @@ def build_frontier_rows_device(bmin, bmax, src, enc,
                                guard: float = None):
     """jnp twin of build_frontier_rows for topology-stable refits:
     fresh build-order boxes through static (src, enc) maps -> (Nw, 8,
-    128) tiles.  Same guard-band dilation, f32 arithmetic."""
+    lane_w) tiles.  Width inferred from src; same guard-band dilation,
+    f32 arithmetic."""
     if guard is None:
         guard = _guard()
-    w = FRONTIER_WIDTH
+    w = src.shape[1]
     nw = src.shape[0]
     live = src >= 0
     idx = jnp.maximum(src, 0)
@@ -229,10 +256,13 @@ def build_frontier_rows_device(bmin, bmax, src, enc,
 
     z = jnp.zeros((nw, w), jnp.float32)
     one = jnp.ones((nw, w), jnp.float32)  # -o*inv feature rows
-    pad32 = jnp.zeros((nw, 2 * w), jnp.float32)
+    pad_n = _lane_w(w) - 6 * w
 
     def lane_row(groups):
-        return jnp.concatenate(list(groups) + [pad32], axis=1)
+        groups = list(groups)
+        if pad_n:
+            groups.append(jnp.zeros((nw, pad_n), jnp.float32))
+        return jnp.concatenate(groups, axis=1)
 
     rows = [
         lane_row([lo[:, :, 0], z, z, hi[:, :, 0], z, z]),
@@ -253,7 +283,8 @@ def build_frontier_rows_device(bmin, bmax, src, enc,
 def _make_frontier_kernel(n_rows: int, block: int, packet: int,
                           tmin: float, hbm_leaves: bool = False,
                           mxu_precision=None, node_precision=None,
-                          leaf_mode: str = "drain"):
+                          leaf_mode: str = "drain",
+                          width: int = FRONTIER_WIDTH):
     """Closest-hit frontier kernel body.  ``mxu_precision`` non-None
     switches the leaf phase to the MXU coefficient tier (tris_ref is
     then (n_leaves, 10, >=4*block)); ``node_precision`` sets the slab
@@ -263,7 +294,8 @@ def _make_frontier_kernel(n_rows: int, block: int, packet: int,
     from vulkan_pathtracer_tpu.ops import mxu_mt
 
     sub = packet // _LANE
-    w = FRONTIER_WIDTH
+    w = width
+    sortnet = _batcher_oem(w)
     mxu = mxu_precision is not None
     if node_precision is None:
         node_precision = jax.lax.Precision.HIGHEST
@@ -481,7 +513,7 @@ def _make_frontier_kernel(n_rows: int, block: int, packet: int,
                 cb = jnp.where(lt, cs[b], cs[a])
                 ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
 
-            for a, b in _SORT16:
+            for a, b in sortnet:
                 cswap(a, b)
 
             live = [k < big for k in ks]
@@ -520,10 +552,11 @@ def _make_frontier_kernel(n_rows: int, block: int, packet: int,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "hbm_leaves", "mxu",
-                              "node_precision", "leaf_mode"))
+                              "node_precision", "leaf_mode", "width"))
 def _frontier_traverse(nodes, tris, rays, *, interpret=False,
                        hbm_leaves=False, mxu=None,
-                       node_precision=None, leaf_mode="drain"):
+                       node_precision=None, leaf_mode="drain",
+                       width=FRONTIER_WIDTH):
     """nodes: (Nw, 8, 128) coefficient tiles; tris: (n_leaves,
     block*9) exact rows or (n_leaves, 10, >=4*block) coefficient rows
     when ``mxu`` (a Precision) is set; rays: (G, 1, 12, PACKET).
@@ -555,9 +588,10 @@ def _frontier_traverse(nodes, tris, rays, *, interpret=False,
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-    w = FRONTIER_WIDTH
+    w = width
+    lw = nodes.shape[2]
     scratch_shapes = [
-        pltpu.SMEM((_FSTACK,), jnp.int32),      # shared node stack
+        pltpu.SMEM((_fstack(w),), jnp.int32),      # shared node stack
         pltpu.SMEM((w,), jnp.int32),            # leaf queue rows
         pltpu.SMEM((1,), jnp.int32),            # leaf queue count
         pltpu.VMEM((w, _LANE), jnp.float32),    # per-child mins
@@ -572,7 +606,7 @@ def _frontier_traverse(nodes, tris, rays, *, interpret=False,
         num_scalar_prefetch=0,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((n_rows, 8, _LANE), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_rows, 8, lw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             tri_spec,
             pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
@@ -586,13 +620,13 @@ def _frontier_traverse(nodes, tris, rays, *, interpret=False,
     kernel = _make_frontier_kernel(
         n_rows, block, packet, TMIN, hbm_leaves=hbm_leaves,
         mxu_precision=mxu, node_precision=node_precision,
-        leaf_mode=leaf_mode)
+        leaf_mode=leaf_mode, width=w)
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_bytes
     # Per-visit temps: the (128, packet) slab matmul result + the
     # (w, packet) entry/tn/tf slices (~2.5 MB at pk2048) + the MXU
     # leaf tier's own temps.
     margin = (16 if mxu else 8) * 1024 * 1024
-    need = n_rows * 8 * _LANE * 4 + leaf_resident + margin
+    need = n_rows * 8 * lw * 4 + leaf_resident + margin
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -608,7 +642,8 @@ def _make_frontier_anyhit_kernel(n_rows: int, block: int, packet: int,
                                  tmin: float, hbm_leaves: bool = False,
                                  mxu_precision=None,
                                  node_precision=None,
-                                 leaf_mode: str = "drain"):
+                                 leaf_mode: str = "drain",
+                                 width: int = FRONTIER_WIDTH):
     """ANY-HIT frontier kernel: resolved lanes stop driving descent
     (their far plane drops to -1 before the node matmul), any
     accepting triangle resolves a lane, traversal ends when the
@@ -617,7 +652,8 @@ def _make_frontier_anyhit_kernel(n_rows: int, block: int, packet: int,
     from vulkan_pathtracer_tpu.ops import mxu_mt
 
     sub = packet // _LANE
-    w = FRONTIER_WIDTH
+    w = width
+    sortnet = _batcher_oem(w)
     mxu = mxu_precision is not None
     if node_precision is None:
         node_precision = jax.lax.Precision.HIGHEST
@@ -801,7 +837,7 @@ def _make_frontier_anyhit_kernel(n_rows: int, block: int, packet: int,
                 cb = jnp.where(lt, cs[b], cs[a])
                 ks[a], ks[b], cs[a], cs[b] = ka, kb, ca, cb
 
-            for a, b in _SORT16:
+            for a, b in sortnet:
                 cswap(a, b)
 
             live = [k < big for k in ks]
@@ -840,10 +876,11 @@ def _make_frontier_anyhit_kernel(n_rows: int, block: int, packet: int,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "hbm_leaves", "mxu",
-                              "node_precision", "leaf_mode"))
+                              "node_precision", "leaf_mode", "width"))
 def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
                      hbm_leaves=False, mxu=None,
-                     node_precision=None, leaf_mode="drain"):
+                     node_precision=None, leaf_mode="drain",
+                     width=FRONTIER_WIDTH):
     """Any-hit launch: same table/ray layout as _frontier_traverse,
     output one resolved-flag row per packet (written to all 4 out
     rows)."""
@@ -874,9 +911,10 @@ def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
     else:
         tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-    w = FRONTIER_WIDTH
+    w = width
+    lw = nodes.shape[2]
     scratch_shapes = [
-        pltpu.SMEM((_FSTACK,), jnp.int32),
+        pltpu.SMEM((_fstack(w),), jnp.int32),
         pltpu.SMEM((w,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
         pltpu.VMEM((w, _LANE), jnp.float32),
@@ -891,7 +929,7 @@ def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
         num_scalar_prefetch=0,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((n_rows, 8, _LANE), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_rows, 8, lw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             tri_spec,
             pl.BlockSpec((1, 1, 12, packet), lambda i: (i, 0, 0, 0),
@@ -905,10 +943,10 @@ def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
     kernel = _make_frontier_anyhit_kernel(
         n_rows, block, packet, TMIN, hbm_leaves=hbm_leaves,
         mxu_precision=mxu, node_precision=node_precision,
-        leaf_mode=leaf_mode)
+        leaf_mode=leaf_mode, width=w)
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_bytes
     margin = (16 if mxu else 8) * 1024 * 1024
-    need = n_rows * 8 * _LANE * 4 + leaf_resident + margin
+    need = n_rows * 8 * lw * 4 + leaf_resident + margin
     vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
@@ -960,7 +998,8 @@ def pallas_frontier_any_hit(scene, origin, direction, active=None,
         scene.bvh_frontier, tri_table, rays, interpret=interpret,
         hbm_leaves=hbm_leaves, mxu=mxu,
         node_precision=frontier_precision(),
-        leaf_mode=os.environ.get("VKPT_FRONTIER_LEAF", "drain"))
+        leaf_mode=os.environ.get("VKPT_FRONTIER_LEAF", "drain"),
+        width=int(scene.bvh_frontier_src.shape[1]))
     hit = out[:, 0, 0, :].reshape(g * packet)[:n] > 0.5
     if active is not None:
         hit = hit & active
@@ -983,7 +1022,7 @@ def _frontier_mxu_dispatch(scene, hbm_leaves):
         budget = int(os.environ.get("VKPT_VMEM_BUDGET",
                                     100 * 1024 * 1024))
         coef_bytes = scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
-        node_bytes = scene.bvh_frontier.shape[0] * 8 * _LANE * 4
+        node_bytes = int(np.prod(scene.bvh_frontier.shape)) * 4
         hbm_leaves = (coef_bytes + node_bytes
                       + 8 * 1024 * 1024 > budget)
     return mxu_precision(), hbm_leaves
@@ -1011,7 +1050,7 @@ def frontier_fits_vmem(scene, budget_bytes: int = None,
     state = 8 * packet * 4 * 4 * 2
     leaf_bytes = (scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
                   if mxu else scene.tri_blocks.shape[0] * 512)
-    need = (scene.bvh_frontier.shape[0] * 8 * _LANE * 4 + leaf_bytes
+    need = (int(np.prod(scene.bvh_frontier.shape)) * 4 + leaf_bytes
             + state)
     return need < budget_bytes
 
@@ -1036,9 +1075,9 @@ def frontier_hbm_fits(scene, budget_bytes=None,
     if packet is None:
         packet = 2048
     state = 8 * packet * 4 * 4 * 2
-    slot_bytes = FRONTIER_WIDTH * (
+    slot_bytes = int(scene.bvh_frontier_src.shape[1]) * (
         _coef_row_bytes(scene) if mxu else 512)
-    need = (scene.bvh_frontier.shape[0] * 8 * _LANE * 4 + slot_bytes
+    need = (int(np.prod(scene.bvh_frontier.shape)) * 4 + slot_bytes
             + state)
     return need < budget_bytes
 
@@ -1099,7 +1138,8 @@ def pallas_frontier_closest_hit(scene, origin, direction, active=None,
         scene.bvh_frontier, tri_table, rays, interpret=interpret,
         hbm_leaves=hbm_leaves, mxu=mxu,
         node_precision=frontier_precision(),
-        leaf_mode=os.environ.get("VKPT_FRONTIER_LEAF", "drain"))
+        leaf_mode=os.environ.get("VKPT_FRONTIER_LEAF", "drain"),
+        width=int(scene.bvh_frontier_src.shape[1]))
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
