@@ -56,10 +56,16 @@ _KBIG = np.int32(1 << 20)
 
 
 def mxu_precision():
+    # Mosaic's dot lowering rejects Precision.HIGH outright (measured
+    # round-4 first contact: "Unsupported dot precision: HIGH"), and
+    # the visit microbench puts DEFAULT ~= HIGHEST per-visit cost
+    # (11171 vs 11266 cyc — these small matmuls are latency-bound,
+    # not MXU-pass-bound), so a 3-pass tier has no niche: "high"
+    # aliases HIGHEST.
     name = os.environ.get("VKPT_MXU_PRECISION", "highest").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
 
@@ -192,22 +198,25 @@ def ensure_mt_coefs(dev):
 def flatten_rows(x):
     """(sub, 128) -> (1, sub*128), element (s, l) -> column s*128+l.
 
-    Built from static sublane slices + a lane concat (certainly
-    supported by Mosaic) rather than jnp.reshape, whose cross-tile
-    relayout support is less predictable.
+    jnp.reshape: measured EXACT on real Mosaic (round-4 first
+    contact).  The previous slice+lane-concat form dies in lowering —
+    tpu.concatenate requires all inputs at sublane offset {0,0} but
+    x[s:s+1] keeps offset {s,0} ("result/input offset mismatch on
+    non-concat dimension").
     """
     sub = x.shape[0]
     if sub == 1:
         return x
-    return jnp.concatenate([x[s:s + 1, :] for s in range(sub)], axis=1)
+    return jnp.reshape(x, (1, sub * _LANE))
 
 
 def unflatten_rows(y, sub):
-    """(1, sub*128) -> (sub, 128), inverse of flatten_rows."""
+    """(1, sub*128) -> (sub, 128), inverse of flatten_rows (reshape
+    measured exact on real Mosaic, as is the 128-aligned lane-slice
+    concat it replaces)."""
     if sub == 1:
         return y
-    return jnp.concatenate(
-        [y[:, s * _LANE:(s + 1) * _LANE] for s in range(sub)], axis=0)
+    return jnp.reshape(y, (sub, _LANE))
 
 
 def packet_features(ox, oy, oz, dx, dy, dz):

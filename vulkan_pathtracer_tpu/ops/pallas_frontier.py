@@ -162,7 +162,7 @@ def frontier_precision():
     name = os.environ.get("VKPT_FRONTIER_PRECISION", "default").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,  # Mosaic rejects HIGH; see mxu_mt.mxu_precision
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
 
