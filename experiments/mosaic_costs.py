@@ -246,6 +246,11 @@ def frontier_visit_bench():
             def body(state):
                 i, vacc = state
                 tile = tiles_ref[i & 511]
+                if stage == "empty":
+                    # Loop + one scalar load + vreg add only: subtract
+                    # this from the other stages to cancel
+                    # dispatch/relay + loop overhead.
+                    return i + 1, vacc + tile[0, 0]
                 res = jax.lax.dot_general(
                     tile, fts, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -327,9 +332,11 @@ def frontier_visit_bench():
 
         return go
 
-    for stage in ("matmul", "epilogue", "full"):
+    for stage in ("empty", "matmul", "epilogue", "full"):
         for pname, prec in (("default", jax.lax.Precision.DEFAULT),
                             ("highest", jax.lax.Precision.HIGHEST)):
+            if stage == "empty" and pname == "highest":
+                continue
             try:
                 go = make(stage, prec)
                 out = go(tiles, feats)
