@@ -1015,6 +1015,17 @@ def _frontier_mxu_dispatch(scene, hbm_leaves):
     )
 
     if not _mxu_active(scene):
+        if scene.tri_blocks.shape[1] > _LANE:
+            # Exact leaves need static lane indices < 128 per scalar
+            # load; block*9 > 128 dies inside Mosaic (measured round-4
+            # first contact: remote-compile HTTP 500 on leaf=28 for
+            # every exact leaf mode).  Raise before dispatch instead.
+            raise ValueError(
+                "frontier kernel with exact leaves requires leaf "
+                "block*9 <= 128 lanes (leaf <= 14); rebuild with a "
+                "smaller leaf or enable the MXU leaf tier "
+                f"(VKPT_MT=mxu) — got {scene.tri_blocks.shape[1]} "
+                "lanes")
         return None, hbm_leaves
     from vulkan_pathtracer_tpu.ops.mxu_mt import mxu_precision
 

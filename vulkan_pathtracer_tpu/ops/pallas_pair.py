@@ -409,11 +409,15 @@ def _mxu_active(scene, allow_instanced: bool = False) -> bool:
 
 
 def _coef_row_bytes(scene) -> int:
-    """VMEM bytes of ONE lane-padded coefficient row: 10 sublanes x
-    ceil(4*block / 128) lane tiles (block > 32 spills into a second
-    tile — the budget must track the PADDED width, not assume one)."""
+    """VMEM bytes of ONE padded coefficient row.  BOTH dims tile-pad:
+    the 10 sublanes round up to 16 (f32 (8,128) tiling) and the lane
+    dim to 128-lane tiles (block > 32 spills into a second tile).
+    Measured round-4: the un-padded-sublane estimate (5120 B/row)
+    said the 246k-tri leaf-14 table fit in VMEM; the real allocation
+    was 17604 rows x 8192 B = 137.5 MB > the 128 MB chip."""
     cw = scene.tri_coefs.shape[2]
-    return 10 * (-(-cw // _LANE) * _LANE) * 4
+    sub = -(-scene.tri_coefs.shape[1] // 8) * 8
+    return sub * (-(-cw // _LANE) * _LANE) * 4
 
 
 def _mxu_dispatch(scene, hbm_leaves):
