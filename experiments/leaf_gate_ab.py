@@ -113,6 +113,22 @@ def main():
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=leaf)
     print(f"tris={dev.num_triangles} leaf={leaf}", flush=True)
 
+    # AB_RAYGEN_LEAF: generate the bounce rays against a SEPARATE
+    # device scene at this leaf size.  Round-4 finding: at leaf=28 the
+    # auto primary dispatch falls through every pallas tier (252-lane
+    # tri rows) to the XLA traversal, and that bounce-ray program
+    # crashed the TPU worker twice before any variant ran — decoupling
+    # ray gen (leaf=14, known-good quad kernel) both sidesteps the
+    # crash and isolates it.  Geometry is identical, so rays/checksums
+    # are unchanged; only prev_block (used by the "seed" variants
+    # alone) is keyed to the ray-gen leaf size.
+    raygen_leaf = os.environ.get("AB_RAYGEN_LEAF")
+    dev_rg = dev
+    if raygen_leaf and int(raygen_leaf) != leaf:
+        dev_rg = build_device_scene(scene, build_bvh=True,
+                                    max_leaf_size=int(raygen_leaf))
+        print(f"raygen leaf={int(raygen_leaf)}", flush=True)
+
     if os.environ.get("VARIANTS") == "prim":
         # Tile-ordered PRIMARY rays instead of bounce rays.
         from vulkan_pathtracer_tpu.app.camera_path import orbit_path
@@ -131,7 +147,7 @@ def main():
         o, d = o[jnp.asarray(t_order)], d[jnp.asarray(t_order)]
         alive = None
     else:
-        o, d, alive, prev_block = bounce_rays(dev)
+        o, d, alive, prev_block = bounce_rays(dev_rg)
     o, d = jax.device_put(o), jax.device_put(d)
     n_alive = float(o.shape[0] if alive is None else jnp.sum(alive))
     print(f"rays: {o.shape[0]} ({n_alive:.0f} alive)", flush=True)
