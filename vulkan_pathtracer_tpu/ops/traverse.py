@@ -45,6 +45,18 @@ def _safe_inv(d):
     )
 
 
+# Max f32 elements the per-iteration leaf-row gather may materialize
+# in one program: rows = take(tri_blocks, ...) is (N, block*9) LIVE
+# inside the while body.  2.07M rays x 126 lanes (leaf 14) ~ 261M
+# elements (1.04 GB) is measured-good; 2.07M x 252 (leaf 28) KILLED
+# the TPU worker (round-4 bisect, experiments/leaf28_crash_bisect.py
+# stage 3 — no clean OOM, the worker process dies).  Above the
+# budget, rays are processed in lax.map chunks sized back to the
+# known-good gather footprint; per-ray results are bit-identical
+# (chunks are independent).
+_ROW_GATHER_BUDGET = 1 << 28
+
+
 def bvh_closest_hit(scene, origin, direction, active=None,
                     tmin=TMIN, tmax=TMAX, seed=None) -> Hit:
     """Closest-hit query for a batch of rays against scene's BVH.
@@ -54,6 +66,70 @@ def bvh_closest_hit(scene, origin, direction, active=None,
     seed: optional prior Hit that pre-tightens t_best (results
     unchanged — the seed is itself a valid hit).
     """
+    n = origin.shape[0]
+    row_w = (scene.tri_blocks.shape[1]
+             if getattr(scene, "bvh_packed", None) is not None
+             and scene.tri_blocks is not None else 0)
+    if row_w and n * row_w > _ROW_GATHER_BUDGET:
+        return _bvh_closest_hit_chunked(
+            scene, origin, direction, active, tmin, tmax, seed,
+            chunk=max(1, _ROW_GATHER_BUDGET // row_w))
+    return _bvh_closest_hit_impl(
+        scene, origin, direction, active, tmin, tmax, seed)
+
+
+def _bvh_closest_hit_chunked(scene, origin, direction, active, tmin,
+                             tmax, seed, chunk):
+    """lax.map over ray chunks; pads to a whole number of chunks with
+    inactive rays and slices back.  Per-ray Hit results are BIT-exact
+    vs unchunked (rays are independent; tests/test_bvh.py
+    test_chunked_xla_traversal_bitexact).  A full jitted FRAME
+    containing this program may still differ from its unchunked twin
+    by ~1 ulp (measured max 1e-7 rel on the box scene): the changed
+    traversal sub-graph shifts XLA's fusion choices for surrounding
+    shading math — the same reassociation class as chunked wavefront
+    dispatch (ROADMAP round-3 finding 7)."""
+    n = origin.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def padded(x, fill):
+        if pad == 0:
+            return x
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    o = padded(origin, 0.0).reshape(n_chunks, chunk, 3)
+    d = padded(direction, 1.0).reshape(n_chunks, chunk, 3)
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    a = padded(active, False).reshape(n_chunks, chunk)
+    if seed is not None:
+        st = padded(seed.t, MISS_T).reshape(n_chunks, chunk)
+        stri = padded(seed.tri, -1).reshape(n_chunks, chunk)
+        su = padded(seed.u, 0.0).reshape(n_chunks, chunk)
+        sv = padded(seed.v, 0.0).reshape(n_chunks, chunk)
+
+        def run(args):
+            co, cd, ca, ct, ctri, cu, cv = args
+            return _bvh_closest_hit_impl(
+                scene, co, cd, ca, tmin, tmax,
+                Hit(t=ct, tri=ctri, u=cu, v=cv))
+
+        hit = jax.lax.map(run, (o, d, a, st, stri, su, sv))
+    else:
+        def run(args):
+            co, cd, ca = args
+            return _bvh_closest_hit_impl(
+                scene, co, cd, ca, tmin, tmax, None)
+
+        hit = jax.lax.map(run, (o, d, a))
+    return Hit(t=hit.t.reshape(-1)[:n], tri=hit.tri.reshape(-1)[:n],
+               u=hit.u.reshape(-1)[:n], v=hit.v.reshape(-1)[:n])
+
+
+def _bvh_closest_hit_impl(scene, origin, direction, active=None,
+                          tmin=TMIN, tmax=TMAX, seed=None) -> Hit:
     max_leaf_size = scene.max_leaf_size
     n = origin.shape[0]
     n_nodes = scene.bvh_skip.shape[0] // scene.bvh_orders
