@@ -171,7 +171,10 @@ def main() -> int:
         if not os.path.exists(scene_path):
             makers[scene_kind](scene_path)
 
-    max_leaf = int(os.environ.get("BENCH_LEAF", 14))
+    # VKPT_LEAF accepted as an alias: a round-4 measurement plan passed
+    # it and silently benchmarked leaf 14 (BENCH_LEAF is canonical).
+    max_leaf = int(os.environ.get(
+        "BENCH_LEAF", os.environ.get("VKPT_LEAF", 14)))
     scene = gltf.load(scene_path)
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=max_leaf)
     print(

@@ -63,6 +63,16 @@ def mxu_precision():
     # not MXU-pass-bound), so a 3-pass tier has no niche: "high"
     # aliases HIGHEST.
     name = os.environ.get("VKPT_MXU_PRECISION", "highest").lower()
+    if name == "default":
+        # Measured on hardware (round-4 isolated A/B): 1-pass bf16
+        # coefficients produce a -3.8% checksum — a different HIT SET,
+        # not 1-ulp drift.  Allowed for A/B harnesses only.
+        import warnings
+
+        warnings.warn(
+            "VKPT_MXU_PRECISION=default is quality-broken (measured "
+            "-3.8% hit checksum on the atrium A/B); use 'highest'.",
+            stacklevel=2)
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGHEST,
