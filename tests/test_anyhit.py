@@ -185,6 +185,12 @@ def test_pooled_identical_with_anyhit_off(atrium_dev, monkeypatch):
     sy = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
     kw = dict(num_bounces=2, traversal="pallas", sort_secondary=True,
               chunk=1024)
+    # The joint/pooled traces are now marked chunked, so the any-hit
+    # kernel only enters their chunk bodies under the explicit
+    # VKPT_ANYHIT_CHUNKED opt-in (the ungated shape killed the TPU
+    # worker 5x — ROADMAP round-4 finding 6).  Interpret mode has no
+    # worker to fault; opt in so this test still drives the kernel.
+    monkeypatch.setenv("VKPT_ANYHIT_CHUNKED", "1")
     monkeypatch.setenv("VKPT_ANYHIT", "1")
     jax.clear_caches()
     c_on, r_on = trace_wavefront_pooled(dev, o, d, sx, sy, **kw)
@@ -194,6 +200,42 @@ def test_pooled_identical_with_anyhit_off(atrium_dev, monkeypatch):
     np.testing.assert_allclose(np.asarray(c_on), np.asarray(c_off),
                                rtol=1e-6, atol=1e-6)
     assert float(r_on) == float(r_off)
+
+
+def test_joint_anyhit_gated_by_default(atrium_dev, monkeypatch):
+    """WITHOUT the VKPT_ANYHIT_CHUNKED opt-in, the joint structures
+    must not dispatch the any-hit kernel inside their chunked bodies —
+    that exact program killed the TPU worker 5x (cache-warm, fresh
+    worker — ROADMAP round-4 finding 6) while VKPT_ANYHIT=1 stayed the
+    default.  Guards the gate added in trace_progressive_batch /
+    trace_wavefront_pooled."""
+    import vulkan_pathtracer_tpu.render.wavefront as wf
+
+    dev = atrium_dev
+    assert dev.emissive_free  # the gate only matters on these scenes
+    n = 1024
+    o, d = _rays(n, seed=31)
+    rng = np.random.default_rng(37)
+    sx = jnp.asarray(rng.integers(0, 2**32, size=(2, n), dtype=np.uint32))
+    sy = jnp.asarray(rng.integers(0, 2**32, size=(2, n), dtype=np.uint32))
+    monkeypatch.delenv("VKPT_ANYHIT_CHUNKED", raising=False)
+    monkeypatch.setenv("VKPT_ANYHIT", "1")
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "any-hit kernel dispatched inside a chunked joint trace "
+            "without the VKPT_ANYHIT_CHUNKED opt-in")
+
+    monkeypatch.setattr(wf, "_any_hit", boom)
+    import jax
+
+    jax.clear_caches()
+    wf.trace_progressive_batch(
+        dev, o, d, sx, sy, batch=2, num_bounces=2,
+        traversal="pallas", sort_secondary=True, chunk=512)
+    wf.trace_wavefront_pooled(
+        dev, o, d, sx[0], sy[0], num_bounces=2,
+        traversal="pallas", sort_secondary=True, chunk=512)
 
 
 def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
@@ -214,6 +256,9 @@ def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
     sy = jnp.asarray(rng.integers(0, 2**32, size=(4, n), dtype=np.uint32))
     kw = dict(batch=4, num_bounces=3, traversal="pallas",
               sort_secondary=True, chunk=1024)
+    # Opt into any-hit inside the (now gated) chunked joint trace —
+    # see test_pooled_identical_with_anyhit_off.
+    monkeypatch.setenv("VKPT_ANYHIT_CHUNKED", "1")
     monkeypatch.setenv("VKPT_ANYHIT", "1")
     jax.clear_caches()
     c_on, r_on = trace_progressive_batch(dev, o, d, sx, sy, **kw)

@@ -966,19 +966,36 @@ def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
 
         return fn
 
-    for j in range(num_bounces):
-        if sort_secondary and j > 0:
-            o, d, _, _, _, _, alive, _ = _unpack_state(state)
-            key = _bounce_sort_key(scene, o, d, alive)
-            state = _permute_state(state, key, _sort_chunk())
-        last = j == num_bounces - 1
-        rr = russian_roulette and (j + 1) >= rr_start_bounce
-        phase = "primary" if j == 0 else "secondary"
-        state, counts = jax.lax.map(
-            chunk_fn(last, rr, phase), state.reshape(n_chunks, chunk, 16)
-        )
-        state = state.reshape(-1, 16)
-        rays_traced = rays_traced + jnp.sum(counts)
+    # The bounce loop builds chunked lax.map bodies, so it must be
+    # marked as a chunked trace: the round-3/4 measured worker-fault
+    # family lives in chunked programs (mixed stack-kernel bodies, and
+    # — measured round 4, 5 reproductions incl. cache-warm on a fresh
+    # worker — the exact ANY-HIT kernel inside joint chunk bodies,
+    # while the same program under VKPT_MT=mxu survives).  This gate
+    # previously only fired for render_rows (uniform_stack_kernel),
+    # silently leaving the joint/pooled paths exposed; with it,
+    # _anyhit_enabled keys off VKPT_ANYHIT_CHUNKED (default off) here
+    # too.  VKPT_JOINT_KERNEL forces ONE kernel family for every
+    # phase of the joint program ("mixed" default keeps per-phase
+    # tiers) — the on-hardware bisect lever.
+    import os as _os
+
+    with uniform_stack_kernel(
+            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+        for j in range(num_bounces):
+            if sort_secondary and j > 0:
+                o, d, _, _, _, _, alive, _ = _unpack_state(state)
+                key = _bounce_sort_key(scene, o, d, alive)
+                state = _permute_state(state, key, _sort_chunk())
+            last = j == num_bounces - 1
+            rr = russian_roulette and (j + 1) >= rr_start_bounce
+            phase = "primary" if j == 0 else "secondary"
+            state, counts = jax.lax.map(
+                chunk_fn(last, rr, phase),
+                state.reshape(n_chunks, chunk, 16)
+            )
+            state = state.reshape(-1, 16)
+            rays_traced = rays_traced + jnp.sum(counts)
 
     _, _, _, color, _, _, _, out_lane = _unpack_state(state)
     # Pad lanes carry lane id 0 but only ever zero color (alive=False
@@ -1038,7 +1055,16 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
     rays_traced = jnp.float32(n)
 
     # ---- bounce 0: shared across frames ----
-    hit0 = _closest_hit(scene, origin, direction, None, traversal)
+    # Under VKPT_JOINT_KERNEL=<family> the shared primary is pinned to
+    # the same stack-kernel family as the chunk bodies (the whole
+    # joint program then contains ONE pallas kernel family — the
+    # strongest-safe shape for the chunked-program worker-fault
+    # class); the "mixed" default keeps the per-phase pair tier.
+    import os as _os
+
+    with uniform_stack_kernel(
+            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+        hit0 = _closest_hit(scene, origin, direction, None, traversal)
     missed0 = hit0.t >= MISS_T
     did0 = ~missed0
     tri0 = get_triangle_data(scene, hit0)
@@ -1159,27 +1185,35 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
 
     import os as _os
 
-    for j in range(1, num_bounces):
-        last = j == num_bounces - 1
-        # The global re-sort costs a 66M-lane argsort + (M,16) row
-        # gather per bounce; on the ANY-HIT last bounce (emissive-free
-        # scenes) packets resolve in a handful of visits, so the
-        # previous bounce's ordering (origins = previous endpoints)
-        # may already be coherent enough — VKPT_ANYHIT_SORT=0 skips
-        # the sort there (scheduling-only, results exact).
-        sort_this = sort_secondary and not (
-            last and _anyhit_enabled(scene)
-            and _os.environ.get("VKPT_ANYHIT_SORT", "1") != "1")
-        if sort_this:
-            o, d, _, _, _, _, alive, _ = _unpack_state(state)
-            key = _bounce_sort_key(scene, o, d, alive)
-            state = _permute_state(state, key, _sort_chunk())
-        rr = russian_roulette and (j + 1) >= rr_start_bounce
-        state, counts = jax.lax.map(
-            chunk_fn(last, rr), state.reshape(n_chunks, chunk, 16)
-        )
-        state = state.reshape(-1, 16)
-        rays_traced = rays_traced + jnp.sum(counts)
+    # Chunked-trace marking + per-family forcing: see the same block
+    # in trace_wavefront_pooled.  Without it the exact any-hit kernel
+    # entered these chunk bodies ungated — the program that killed the
+    # TPU worker 5x (round-4 finding 6; the round-3-end 19:38/19:47
+    # "outage onset" crashes were the same program).
+    with uniform_stack_kernel(
+            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+        for j in range(1, num_bounces):
+            last = j == num_bounces - 1
+            # The global re-sort costs a 66M-lane argsort + (M,16) row
+            # gather per bounce; on the ANY-HIT last bounce
+            # (emissive-free scenes) packets resolve in a handful of
+            # visits, so the previous bounce's ordering (origins =
+            # previous endpoints) may already be coherent enough —
+            # VKPT_ANYHIT_SORT=0 skips the sort there
+            # (scheduling-only, results exact).
+            sort_this = sort_secondary and not (
+                last and _anyhit_enabled(scene)
+                and _os.environ.get("VKPT_ANYHIT_SORT", "1") != "1")
+            if sort_this:
+                o, d, _, _, _, _, alive, _ = _unpack_state(state)
+                key = _bounce_sort_key(scene, o, d, alive)
+                state = _permute_state(state, key, _sort_chunk())
+            rr = russian_roulette and (j + 1) >= rr_start_bounce
+            state, counts = jax.lax.map(
+                chunk_fn(last, rr), state.reshape(n_chunks, chunk, 16)
+            )
+            state = state.reshape(-1, 16)
+            rays_traced = rays_traced + jnp.sum(counts)
 
     _, _, _, color, _, _, _, lane = _unpack_state(state)
     pix = (lane % jnp.uint32(n)).astype(jnp.int32)
