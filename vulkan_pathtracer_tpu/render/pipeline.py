@@ -420,11 +420,18 @@ def render_frames_joint(scene: DeviceScene, position, horizontal,
         lambda f: rng.prng_seed(px, py, f)
     )(frames)
 
+    # VKPT_CHUNK overrides the wavefront chunk size (rays per lax.map
+    # body; default wavefront.WAVEFRONT_CHUNK).  Read at trace time —
+    # a changed value forms a new jit cache entry only via
+    # jax.clear_caches() or a fresh process (bench runs are fresh
+    # processes; this is a measurement knob, not a live config).
+    chunk_env = os.environ.get("VKPT_CHUNK")
     color_sum, rays = trace_progressive_batch(
         scene, origin, direction, seed_x, seed_y,
         batch=batch, num_bounces=num_bounces, traversal=traversal,
         russian_roulette=russian_roulette,
         rr_start_bounce=rr_start_bounce, sort_secondary=sort_secondary,
+        **({} if not chunk_env else {"chunk": int(chunk_env)}),
     )
     if tile_inv is not None:
         color_sum = color_sum[tile_inv]
