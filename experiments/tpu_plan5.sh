@@ -67,7 +67,12 @@ run spp-sequential 3600 env BENCH_JOINT=0 BENCH_MODE=spp BENCH_TARGET_SPP=128 py
 #    if it crashed above this records the same — the log decides).
 run spp-1024 3600 env BENCH_MODE=spp BENCH_TARGET_SPP=1024 python bench.py
 
-# 6. Leave the sidecar holding the headline metric.
+# 6. Joint headline with the gate: under mxu the joint structure ran
+#    10% faster than per-frame (2.12 vs 1.92) — if the gate fixed the
+#    exact joint program, this could beat the 5.68 default.
+run headline-joint-gated 2400 env BENCH_HEADLINE=joint python bench.py
+
+# 7. Leave the sidecar holding the headline metric.
 run headline-final 2400 python bench.py
 
 echo "=== plan5 done $(date -u +%H:%M:%S) ===" >> $L
