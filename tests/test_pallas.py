@@ -476,3 +476,30 @@ def test_oct_hbm_leaves_matches(cols_dev):
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
     np.testing.assert_array_equal(np.asarray(got.tri),
                                   np.asarray(ref.tri))
+
+
+def test_wavefront_dispatch_quad_hbm_override(cols_dev, monkeypatch):
+    """An explicit ``*_hbm`` kernel override (VKPT_KERNEL_*=quad_hbm /
+    VKPT_JOINT_KERNEL=quad_hbm) must dispatch the HBM-streamed-leaf
+    tier DIRECTLY — not fall back to the in-VMEM twin first.  The
+    worker-kill bisect relies on this to run a whole joint program
+    with the leaf tables out of VMEM (ROADMAP round-4 finding 6)."""
+    import vulkan_pathtracer_tpu.ops.pallas_pair as pp
+    from vulkan_pathtracer_tpu.render.wavefront import _closest_hit
+
+    o, d = _rays(700, seed=78)
+    ref = bvh_closest_hit(cols_dev, o, d)
+    seen = {}
+    real = pp.pallas_quad_closest_hit
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pp, "pallas_quad_closest_hit", spy)
+    monkeypatch.setenv("VKPT_KERNEL_SECONDARY", "quad_hbm")
+    got = _closest_hit(cols_dev, o, d, None, "pallas",
+                       phase="secondary")
+    assert seen.get("hbm_leaves") is True
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)

@@ -266,7 +266,14 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 tiers = ["quad", "quad_hbm", "oct", "oct_hbm", "pair"]
             else:
                 tiers = ["pair", "quad", "quad_hbm", "oct", "oct_hbm"]
-            if kern in ("oct", "quad", "pair", "frontier"):
+            if kern in ("quad_hbm", "oct_hbm", "frontier_hbm"):
+                # Explicit HBM-streamed-leaf tier (e.g.
+                # VKPT_JOINT_KERNEL=quad_hbm): do NOT fall back to the
+                # in-VMEM twin first — the override exists to keep the
+                # leaf table OUT of VMEM (worker-kill bisect, ROADMAP
+                # round-4 finding 6).
+                tiers = [kern] + [k for k in tiers if k != kern]
+            elif kern in ("oct", "quad", "pair", "frontier"):
                 pref = [kern, kern + "_hbm"]
                 tiers = pref + [k for k in tiers if k not in pref]
             if use_stack and kern != "packet":
