@@ -84,7 +84,8 @@ _IN_CHUNKED_TRACE = False
 
 class uniform_stack_kernel:
     """Context manager: force stack-kernel family ``kind`` ("oct" |
-    "quad" | "pair" | "packet") for both phases while tracing.
+    "quad" | "pair" | "packet" | "quad_hbm" | "oct_hbm") for both
+    phases while tracing.
     ``None`` or "mixed" leaves the per-phase tiers in effect (but
     still marks the trace as chunked for the any-hit gate)."""
 
@@ -105,6 +106,42 @@ class uniform_stack_kernel:
         _UNIFORM_STACK_KERNEL = self._prev
         _IN_CHUNKED_TRACE = self._prev_chunked
         return False
+
+
+# Leaf-table size past which the joint/pooled chunked programs pin the
+# HBM-streamed-leaf kernel by default.  Every reproduced worker kill
+# (11 this round) ran a production-size scene (246k tris, ~9 MB leaf
+# table) with the leaf table in VMEM inside the long joint lax.map;
+# every survivor either streamed leaves from HBM or was a small scene
+# (Cornell/box-class joint programs ran across three rounds without a
+# fault).  2 MB is a conservative cut between those regimes.
+_JOINT_HBM_LEAF_BYTES = 2 * 1024 * 1024
+
+
+def _joint_kernel(scene):
+    """Stack-kernel family pinned over a joint/pooled chunked trace.
+
+    ``VKPT_JOINT_KERNEL`` overrides (the on-hardware bisect lever).
+    The default is measured policy (ROADMAP round-4 finding 6 +
+    plan5/plan6 bisect): joint chunked-lax.map programs whose stack
+    kernels keep the LEAF table in VMEM kill the shared TPU worker on
+    production-size scenes — single-family "quad" survived ~3x longer
+    than mixed but still died, while the HBM-streamed-leaf twin both
+    survives AND measures faster (2.696 vs 2.618 spp/s at 1080p
+    B=32).  Small scenes keep the per-phase tiers ("mixed")."""
+    import os
+
+    kind = os.environ.get("VKPT_JOINT_KERNEL")
+    if kind:
+        return kind
+    blocks = getattr(scene, "tri_blocks", None)
+    if (blocks is not None
+            and blocks.shape[0] * 512 > _JOINT_HBM_LEAF_BYTES):
+        from vulkan_pathtracer_tpu.ops.pallas_pair import quad_hbm_fits
+
+        if quad_hbm_fits(scene):
+            return "quad_hbm"
+    return "mixed"
 
 
 def _closest_hit(scene, origin, direction, active, traversal: str,
@@ -982,13 +1019,10 @@ def trace_wavefront_pooled(scene, origin, direction, seed_x, seed_y, *,
     # previously only fired for render_rows (uniform_stack_kernel),
     # silently leaving the joint/pooled paths exposed; with it,
     # _anyhit_enabled keys off VKPT_ANYHIT_CHUNKED (default off) here
-    # too.  VKPT_JOINT_KERNEL forces ONE kernel family for every
-    # phase of the joint program ("mixed" default keeps per-phase
-    # tiers) — the on-hardware bisect lever.
-    import os as _os
-
-    with uniform_stack_kernel(
-            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+    # too.  The pinned family comes from _joint_kernel (quad_hbm on
+    # production-size scenes — the measured survivor structure;
+    # VKPT_JOINT_KERNEL overrides).
+    with uniform_stack_kernel(_joint_kernel(scene)):
         for j in range(num_bounces):
             if sort_secondary and j > 0:
                 o, d, _, _, _, _, alive, _ = _unpack_state(state)
@@ -1062,15 +1096,12 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
     rays_traced = jnp.float32(n)
 
     # ---- bounce 0: shared across frames ----
-    # Under VKPT_JOINT_KERNEL=<family> the shared primary is pinned to
-    # the same stack-kernel family as the chunk bodies (the whole
-    # joint program then contains ONE pallas kernel family — the
-    # strongest-safe shape for the chunked-program worker-fault
-    # class); the "mixed" default keeps the per-phase pair tier.
-    import os as _os
-
-    with uniform_stack_kernel(
-            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+    # The shared primary is pinned to the same stack-kernel family as
+    # the chunk bodies (the whole joint program then contains ONE
+    # pallas kernel family — the strongest-safe shape for the
+    # chunked-program worker-fault class); on small scenes
+    # _joint_kernel returns "mixed" and the per-phase pair tier stays.
+    with uniform_stack_kernel(_joint_kernel(scene)):
         hit0 = _closest_hit(scene, origin, direction, None, traversal)
     missed0 = hit0.t >= MISS_T
     did0 = ~missed0
@@ -1197,8 +1228,7 @@ def trace_progressive_batch(scene, origin, direction, seed_x, seed_y, *,
     # entered these chunk bodies ungated — the program that killed the
     # TPU worker 5x (round-4 finding 6; the round-3-end 19:38/19:47
     # "outage onset" crashes were the same program).
-    with uniform_stack_kernel(
-            _os.environ.get("VKPT_JOINT_KERNEL", "mixed")):
+    with uniform_stack_kernel(_joint_kernel(scene)):
         for j in range(1, num_bounces):
             last = j == num_bounces - 1
             # The global re-sort costs a 66M-lane argsort + (M,16) row
