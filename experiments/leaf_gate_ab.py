@@ -737,6 +737,33 @@ def main():
                     ("exact C=1     ", run_sorted(1))]
         variants += [(f"chunk C={c:<4}  ", run_sorted(c))
                      for c in (8, 16, 32, 64, 128)]
+    elif which == "stack":
+        # Exact stack kernels at the AB_LEAF bake — the split-leaf
+        # A/B (leaf 28 = 2x14 sub-rows; ops/pallas_pair.
+        # _leaf_rows_per_block).  Run AB_LEAF=14 then AB_LEAF=28 with
+        # AB_RAYGEN_LEAF=14 and compare: the round-3 host sim says
+        # leaf-28 cuts production node visits 886->391 and leaf
+        # visits 227->89 per pk2048 packet (ROADMAP finding 14).
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_oct_closest_hit,
+            pallas_pair_closest_hit,
+            pallas_quad_closest_hit,
+        )
+
+        variants = [
+            ("quad pk2048      ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=2048)),
+            ("quad pk3072      ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("quad pk4096      ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=4096)),
+            ("quad_hbm pk2048  ", lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=2048, hbm_leaves=True)),
+            ("pair pk3072      ", lambda: pallas_pair_closest_hit(
+                dev, o, d, alive, packet=3072)),
+            ("oct pk2048       ", lambda: pallas_oct_closest_hit(
+                dev, o, d, alive, packet=2048)),
+        ]
     elif which == "mxu":
         # MXU leaf-coefficient tier (ops/mxu_mt.py; VKPT_MT=mxu,
         # relaxed parity) vs the exact quad kernel on the same rays.

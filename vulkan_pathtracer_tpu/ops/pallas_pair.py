@@ -57,6 +57,44 @@ STACK_CAP = 96  # >= max tree depth (SAH/LBVH builds are ~2logN; the
 PAIR_BIG = np.float32(3e38)
 
 
+def _leaf_rows_per_block(block: int):
+    """Stored tri-table rows per leaf block, or None if the stack
+    kernels cannot run this leaf size.
+
+    A leaf block of B tris is B*9 lanes wide, and Mosaic scalar loads
+    need STATIC lane indices < 128 — which capped one-row blocks at 14
+    tris (126 lanes) and with them the exact kernels' leaf size, while
+    the host sims showed leaf-28 cuts production node visits 2.27x
+    (ROADMAP round-3 finding 14).  For B a multiple of 14 the
+    (n, B*9) table row-major reshapes — free, no data movement — into
+    (n*rpl, 126) sub-rows of 14 tris each (tri k of a leaf lives at
+    sub-row k//14, lane (k%14)*9), and the MT loop reads
+    tris_ref[leaf*rpl + rr, static_lane]: dynamic SUBLANE indices
+    lower fine.  That unlocks the leaf-28 bake for the EXACT kernels,
+    which previously only the (measured-dead-end) MXU coefficient
+    tier could reach."""
+    if block <= 14:
+        return 1
+    if block % 14 == 0 and block // 14 <= 4:
+        return block // 14
+    return None
+
+
+def _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row, slot: int,
+               rpl: int):
+    """Async copy descriptor for one leaf block's rows (HBM-streamed
+    leaves): rpl consecutive tri-table rows into the slot's scratch
+    rows, one DMA + one semaphore per leaf visit."""
+    if rpl == 1:
+        return pltpu.make_async_copy(
+            tris_ref.at[row], leaf_scratch.at[slot],
+            leaf_sems.at[slot])
+    return pltpu.make_async_copy(
+        tris_ref.at[pl.ds(row * rpl, rpl)],
+        leaf_scratch.at[pl.ds(slot * rpl, rpl)],
+        leaf_sems.at[slot])
+
+
 def _stack_depth_ok(scene) -> bool:
     """SMEM stack-capacity gate shared by all *_fits_vmem gates.
 
@@ -454,13 +492,14 @@ def quad_fits_vmem(scene, budget_bytes: int = None,
             scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
     mxu = _mxu_active(scene)
-    if scene.tri_blocks.shape[1] > _LANE and not mxu:
+    rpl = _leaf_rows_per_block(scene.tri_blocks.shape[1] // 9)
+    if rpl is None and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     leaf_bytes = (scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
-                  if mxu else scene.tri_blocks.shape[0] * 512)
+                  if mxu else scene.tri_blocks.shape[0] * 512 * rpl)
     need = (scene.bvh_quad.shape[0] * 512 + leaf_bytes + state)
     return need < budget_bytes
 
@@ -480,13 +519,15 @@ def _nary_hbm_fits(scene, table_attr: str, budget_bytes=None,
             not _stack_depth_ok(scene):
         return False
     mxu = table_attr == "bvh_quad" and _mxu_active(scene)
-    if scene.tri_blocks.shape[1] > _LANE and not mxu:
+    rpl = _leaf_rows_per_block(scene.tri_blocks.shape[1] // 9)
+    if rpl is None and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     width = table.shape[1] // 8
-    slot_bytes = width * (_coef_row_bytes(scene) if mxu else 512)
+    slot_bytes = width * (_coef_row_bytes(scene) if mxu
+                          else 512 * rpl)
     need = table.shape[0] * 512 + slot_bytes + state
     return need < budget_bytes
 
@@ -538,7 +579,8 @@ def build_pair_rows_device(bmin, bmax, left, right, leaf_first,
 
 def _make_pair_kernel(n_rows: int, block: int, packet: int,
                       tmin: float, instanced: bool = False,
-                      mb_bits: int = 0, mxu_precision=None):
+                      mb_bits: int = 0, mxu_precision=None,
+                      rows_per_leaf: int = 1):
     """``mxu_precision`` non-None switches the leaf phase to the MXU
     coefficient tier (tris_ref: (n_leaves, 10, >=4*block) OBJECT-space
     coefficient rows).  Instanced scenes additionally take ifeat_ref
@@ -615,17 +657,21 @@ def _make_pair_kernel(n_rows: int, block: int, packet: int,
                 row = leaf_i
                 det_sign = None
                 tri_base = leaf_i * block
+            sub_b = block // rows_per_leaf
             for k in range(block):
-                base = k * 9
-                v0x = tris_ref[row, base + 0]
-                v0y = tris_ref[row, base + 1]
-                v0z = tris_ref[row, base + 2]
-                e1x = tris_ref[row, base + 3]
-                e1y = tris_ref[row, base + 4]
-                e1z = tris_ref[row, base + 5]
-                e2x = tris_ref[row, base + 6]
-                e2y = tris_ref[row, base + 7]
-                e2z = tris_ref[row, base + 8]
+                rr, kk = divmod(k, sub_b)
+                srow = row if rows_per_leaf == 1 \
+                    else row * rows_per_leaf + rr
+                base = kk * 9
+                v0x = tris_ref[srow, base + 0]
+                v0y = tris_ref[srow, base + 1]
+                v0z = tris_ref[srow, base + 2]
+                e1x = tris_ref[srow, base + 3]
+                e1y = tris_ref[srow, base + 4]
+                e1z = tris_ref[srow, base + 5]
+                e2x = tris_ref[srow, base + 6]
+                e2y = tris_ref[srow, base + 7]
+                e2z = tris_ref[srow, base + 8]
                 px = mdy * e2z - mdz * e2y
                 py = mdz * e2x - mdx * e2z
                 pz = mdx * e2y - mdy * e2x
@@ -822,7 +868,8 @@ _SORT_NETS = {
 def _make_nary_kernel(n_rows: int, block: int, packet: int,
                       tmin: float, width: int,
                       hbm_leaves: bool = False,
-                      mxu_precision=None):
+                      mxu_precision=None,
+                      rows_per_leaf: int = 1):
     """``mxu_precision`` non-None switches the leaf phase to the MXU
     coefficient-matmul tier (ops/mxu_mt.py — RELAXED parity):
     tris_ref then holds (n_leaves, 10, >=4*block) coefficient rows
@@ -863,25 +910,28 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                 # The slot's row DMA was issued when the leaf hit was
                 # detected; wait here (MT of earlier slots overlaps
                 # the copies of later ones).
-                pltpu.make_async_copy(
-                    tris_ref.at[row],
-                    leaf_scratch.at[slot],
-                    leaf_sems.at[slot],
-                ).wait()
-                tread = lambda base: leaf_scratch[slot, base]
+                _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
+                           slot, rows_per_leaf).wait()
+                tread = lambda rr, base: leaf_scratch[
+                    slot if rows_per_leaf == 1
+                    else slot * rows_per_leaf + rr, base]
             else:
-                tread = lambda base: tris_ref[row, base]
+                tread = lambda rr, base: tris_ref[
+                    row if rows_per_leaf == 1
+                    else row * rows_per_leaf + rr, base]
+            sub_b = block // rows_per_leaf
             for k in range(block):
-                base = k * 9
-                v0x = tread(base + 0)
-                v0y = tread(base + 1)
-                v0z = tread(base + 2)
-                e1x = tread(base + 3)
-                e1y = tread(base + 4)
-                e1z = tread(base + 5)
-                e2x = tread(base + 6)
-                e2y = tread(base + 7)
-                e2z = tread(base + 8)
+                rr, kk = divmod(k, sub_b)
+                base = kk * 9
+                v0x = tread(rr, base + 0)
+                v0y = tread(rr, base + 1)
+                v0z = tread(rr, base + 2)
+                e1x = tread(rr, base + 3)
+                e1y = tread(rr, base + 4)
+                e1z = tread(rr, base + 5)
+                e2x = tread(rr, base + 6)
+                e2y = tread(rr, base + 7)
+                e2z = tread(rr, base + 8)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -991,11 +1041,8 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                     @pl.when(jnp.logical_and(hits[s], leafs[s]))
                     def _(s=s):
                         row = (-encs[s]).astype(jnp.int32) - 1
-                        pltpu.make_async_copy(
-                            tris_ref.at[row],
-                            leaf_scratch.at[s],
-                            leaf_sems.at[s],
-                        ).start()
+                        _leaf_copy(tris_ref, leaf_scratch, leaf_sems,
+                                   row, s, rows_per_leaf).start()
             hb = (t_best, tri_best, u_best, v_best)
             for s in range(width):
                 hb = jax.lax.cond(
@@ -1065,7 +1112,8 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
 def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                              tmin: float, width: int,
                              hbm_leaves: bool = False,
-                             mxu_precision=None):
+                             mxu_precision=None,
+                             rows_per_leaf: int = 1):
     """ANY-HIT variant of the n-ary stack kernel: per-lane state is a
     single resolved bit instead of (t, tri, u, v).
 
@@ -1118,25 +1166,28 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
 
         def mt_block(row, hitf, slot=0):
             if hbm_leaves:
-                pltpu.make_async_copy(
-                    tris_ref.at[row],
-                    leaf_scratch.at[slot],
-                    leaf_sems.at[slot],
-                ).wait()
-                tread = lambda base: leaf_scratch[slot, base]
+                _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
+                           slot, rows_per_leaf).wait()
+                tread = lambda rr, base: leaf_scratch[
+                    slot if rows_per_leaf == 1
+                    else slot * rows_per_leaf + rr, base]
             else:
-                tread = lambda base: tris_ref[row, base]
+                tread = lambda rr, base: tris_ref[
+                    row if rows_per_leaf == 1
+                    else row * rows_per_leaf + rr, base]
+            sub_b = block // rows_per_leaf
             for k in range(block):
-                base = k * 9
-                v0x = tread(base + 0)
-                v0y = tread(base + 1)
-                v0z = tread(base + 2)
-                e1x = tread(base + 3)
-                e1y = tread(base + 4)
-                e1z = tread(base + 5)
-                e2x = tread(base + 6)
-                e2y = tread(base + 7)
-                e2z = tread(base + 8)
+                rr, kk = divmod(k, sub_b)
+                base = kk * 9
+                v0x = tread(rr, base + 0)
+                v0y = tread(rr, base + 1)
+                v0z = tread(rr, base + 2)
+                e1x = tread(rr, base + 3)
+                e1y = tread(rr, base + 4)
+                e1z = tread(rr, base + 5)
+                e2x = tread(rr, base + 6)
+                e2y = tread(rr, base + 7)
+                e2z = tread(rr, base + 8)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -1231,11 +1282,8 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                     @pl.when(jnp.logical_and(hits[s], leafs[s]))
                     def _(s=s):
                         row = (-encs[s]).astype(jnp.int32) - 1
-                        pltpu.make_async_copy(
-                            tris_ref.at[row],
-                            leaf_scratch.at[s],
-                            leaf_sems.at[s],
-                        ).start()
+                        _leaf_copy(tris_ref, leaf_scratch, leaf_sems,
+                                   row, s, rows_per_leaf).start()
             for s in range(width):
                 hitf = jax.lax.cond(
                     jnp.logical_and(hits[s], leafs[s]),
@@ -1306,7 +1354,8 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
 
 def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
                              tmin: float, instanced: bool = False,
-                             mb_bits: int = 0, mxu_precision=None):
+                             mb_bits: int = 0, mxu_precision=None,
+                             rows_per_leaf: int = 1):
     """ANY-HIT variant of the pair (BVH2 shared-stack) kernel — the
     instanced-capable tier (object-space MT per leaf visit, same
     contract as _make_pair_kernel).  See _make_nary_anyhit_kernel for
@@ -1362,17 +1411,21 @@ def _make_pair_anyhit_kernel(n_rows: int, block: int, packet: int,
             else:
                 row = leaf_i
                 det_sign = None
+            sub_b = block // rows_per_leaf
             for k in range(block):
-                base = k * 9
-                v0x = tris_ref[row, base + 0]
-                v0y = tris_ref[row, base + 1]
-                v0z = tris_ref[row, base + 2]
-                e1x = tris_ref[row, base + 3]
-                e1y = tris_ref[row, base + 4]
-                e1z = tris_ref[row, base + 5]
-                e2x = tris_ref[row, base + 6]
-                e2y = tris_ref[row, base + 7]
-                e2z = tris_ref[row, base + 8]
+                rr, kk = divmod(k, sub_b)
+                srow = row if rows_per_leaf == 1 \
+                    else row * rows_per_leaf + rr
+                base = kk * 9
+                v0x = tris_ref[srow, base + 0]
+                v0y = tris_ref[srow, base + 1]
+                v0z = tris_ref[srow, base + 2]
+                e1x = tris_ref[srow, base + 3]
+                e1y = tris_ref[srow, base + 4]
+                e1z = tris_ref[srow, base + 5]
+                e2x = tris_ref[srow, base + 6]
+                e2y = tris_ref[srow, base + 7]
+                e2z = tris_ref[srow, base + 8]
                 px = mdy * e2z - mdz * e2y
                 py = mdz * e2x - mdx * e2z
                 pz = mdx * e2y - mdy * e2x
@@ -1535,12 +1588,21 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
         leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
+        rpl = 1
     else:
         n_leaves, row_w = tris.shape
         block = row_w // 9
-        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+        rpl = _leaf_rows_per_block(block)
+        if rpl is None:
+            raise ValueError(
+                f"stack kernels cannot run leaf block {block} "
+                f"(needs block <= 14 or a multiple of 14 <= 56)")
+        if rpl > 1:
+            # Split-leaf layout (see _leaf_rows_per_block).
+            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-        leaf_bytes = n_leaves * 512
+        leaf_bytes = n_leaves * 512 * rpl
     g, _, _, packet = rays.shape
     instanced = inst_inv is not None
 
@@ -1575,7 +1637,8 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
     kernel = _make_pair_anyhit_kernel(n_rows, block, packet, TMIN,
                                       instanced=instanced,
                                       mb_bits=mb_bits,
-                                      mxu_precision=mxu)
+                                      mxu_precision=mxu,
+                                      rows_per_leaf=rpl)
     need = (n_rows * 512 + leaf_bytes
             + (12 if mxu else 4) * 1024 * 1024)
     if instanced:
@@ -1663,9 +1726,19 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
                                   (0, _LANE - cw % _LANE)))
         row_w = tris.shape[2]
         leaf_row_bytes = 10 * row_w * 4
+        rpl = 1
     else:
         n_leaves, row_w = tris.shape
         block = row_w // 9
+        rpl = _leaf_rows_per_block(block)
+        if rpl is None:
+            raise ValueError(
+                f"stack kernels cannot run leaf block {block} "
+                f"(needs block <= 14 or a multiple of 14 <= 56)")
+        if rpl > 1:
+            # Split-leaf layout (see _leaf_rows_per_block).
+            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+            row_w = tris.shape[1]
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
@@ -1678,12 +1751,13 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
                                 lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     scratch_shapes = [
         pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
     if hbm_leaves:
-        slot_shape = (width, 10, row_w) if mxu else (width, row_w)
+        slot_shape = ((width, 10, row_w) if mxu
+                      else (width * rpl, row_w))
         scratch_shapes += [
             pltpu.VMEM(slot_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((width,)),
@@ -1704,8 +1778,9 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
     )
     kernel = _make_nary_anyhit_kernel(n_rows, block, packet, TMIN,
                                       width, hbm_leaves=hbm_leaves,
-                                      mxu_precision=mxu)
-    leaf_row_cost = leaf_row_bytes if mxu else 512
+                                      mxu_precision=mxu,
+                                      rows_per_leaf=rpl)
+    leaf_row_cost = leaf_row_bytes if mxu else 512 * rpl
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     # The MXU tier materializes a (4*block->128, packet) matmul result
     # (+ det-scaled slices) per leaf visit — budget extra scratch.
@@ -1797,9 +1872,21 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
                                   (0, _LANE - cw % _LANE)))
         row_w = tris.shape[2]
         leaf_row_bytes = 10 * row_w * 4
+        rpl = 1
     else:
         n_leaves, row_w = tris.shape
         block = row_w // 9
+        rpl = _leaf_rows_per_block(block)
+        if rpl is None:
+            raise ValueError(
+                f"stack kernels cannot run leaf block {block} "
+                f"(needs block <= 14 or a multiple of 14 <= 56)")
+        if rpl > 1:
+            # Split-leaf layout: free row-major reshape into 14-tri
+            # sub-rows so the MT scalar loads keep static lane
+            # indices < 128 (see _leaf_rows_per_block).
+            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+            row_w = tris.shape[1]
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
@@ -1817,12 +1904,13 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
                                 lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     scratch_shapes = [
         pltpu.SMEM(((width - 1) * STACK_CAP,), jnp.int32)]
     if hbm_leaves:
-        slot_shape = (width, 10, row_w) if mxu else (width, row_w)
+        slot_shape = ((width, 10, row_w) if mxu
+                      else (width * rpl, row_w))
         scratch_shapes += [
             pltpu.VMEM(slot_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((width,)),
@@ -1843,8 +1931,9 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
     )
     kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width,
                                hbm_leaves=hbm_leaves,
-                               mxu_precision=mxu_precision)
-    leaf_row_cost = leaf_row_bytes if mxu else 512
+                               mxu_precision=mxu_precision,
+                               rows_per_leaf=rpl)
+    leaf_row_cost = leaf_row_bytes if mxu else 512 * rpl
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     # The MXU tier materializes a (4*block->128, packet) matmul result
     # (+ det-scaled slices) per leaf visit — budget extra scratch.
@@ -1925,13 +2014,14 @@ def oct_fits_vmem(scene, budget_bytes: int = None,
     if getattr(scene, "bvh_oct", None) is None or \
             scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
-    if scene.tri_blocks.shape[1] > _LANE:
+    rpl = _leaf_rows_per_block(scene.tri_blocks.shape[1] // 9)
+    if rpl is None:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     need = (scene.bvh_oct.shape[0] * 512
-            + scene.tri_blocks.shape[0] * 512 + state)
+            + scene.tri_blocks.shape[0] * 512 * rpl + state)
     return need < budget_bytes
 
 
@@ -2010,12 +2100,21 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
         leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
+        rpl = 1
     else:
         n_leaves, row_w = tris.shape
         block = row_w // 9
-        tri_spec = pl.BlockSpec((n_leaves, row_w), lambda i: (0, 0),
+        rpl = _leaf_rows_per_block(block)
+        if rpl is None:
+            raise ValueError(
+                f"stack kernels cannot run leaf block {block} "
+                f"(needs block <= 14 or a multiple of 14 <= 56)")
+        if rpl > 1:
+            # Split-leaf layout (see _leaf_rows_per_block).
+            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+        tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
-        leaf_bytes = n_leaves * 512
+        leaf_bytes = n_leaves * 512 * rpl
     g, _, _, packet = rays.shape
     instanced = inst_inv is not None
 
@@ -2049,7 +2148,8 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
     )
     kernel = _make_pair_kernel(n_rows, block, packet, TMIN,
                                instanced=instanced, mb_bits=mb_bits,
-                               mxu_precision=mxu)
+                               mxu_precision=mxu,
+                               rows_per_leaf=rpl)
     # Per-visit MXU temps ((4B, P) result + feature matrices).
     need = (n_rows * 512 + leaf_bytes
             + (12 if mxu else 4) * 1024 * 1024)
@@ -2079,13 +2179,14 @@ def pair_fits_vmem(scene, budget_bytes: int = None,
             scene.tri_blocks is None or not _stack_depth_ok(scene):
         return False
     mxu = _mxu_active(scene, allow_instanced=True)
-    if scene.tri_blocks.shape[1] > _LANE and not mxu:
+    rpl = _leaf_rows_per_block(scene.tri_blocks.shape[1] // 9)
+    if rpl is None and not mxu:
         return False
     if packet is None:
         packet = 4096
     state = 8 * packet * 4 * 4 * 2
     leaf_bytes = (scene.tri_coefs.shape[0] * _coef_row_bytes(scene)
-                  if mxu else scene.tri_blocks.shape[0] * 512)
+                  if mxu else scene.tri_blocks.shape[0] * 512 * rpl)
     need = scene.bvh_pair.shape[0] * 512 + leaf_bytes + state
     if mxu and getattr(scene, "inst_feat", None) is not None:
         need += scene.inst_feat.shape[0] * 10 * _LANE * 4
