@@ -450,8 +450,20 @@ def _any_hit(scene, origin, direction, active, traversal: str):
         )
 
         pk = int(_os.environ.get("VKPT_ANYHIT_PACKET", 2048))
+        # Honor a pinned HBM-leaf family (joint chunked traces,
+        # _joint_kernel): every in-VMEM any-hit twin is exactly the
+        # worker-kill shape the pin exists to avoid (plan6 bisect),
+        # so under the pin dispatch ONLY the HBM any-hit or fall to
+        # closest-hit (which honors the pin itself).
+        pin_hbm = _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm")
         if not getattr(scene, "instanced", False):
-            if _os.environ.get("VKPT_ANYHIT_KERNEL") == "frontier":
+            if pin_hbm:
+                if quad_hbm_fits(scene, packet=pk):
+                    return pallas_quad_any_hit(
+                        scene, origin, direction, active,
+                        interpret=not on_tpu, packet=pk,
+                        hbm_leaves=True)
+            elif _os.environ.get("VKPT_ANYHIT_KERNEL") == "frontier":
                 # Opt-in 16-wide MXU node-phase any-hit (pending TPU
                 # measurement, like VKPT_KERNEL_*=frontier).
                 from vulkan_pathtracer_tpu.ops.pallas_frontier import (
@@ -471,17 +483,17 @@ def _any_hit(scene, origin, direction, active, traversal: str):
                         scene, origin, direction, active,
                         interpret=not on_tpu, packet=fpk,
                         hbm_leaves=True)
-            if quad_fits_vmem(scene, packet=pk):
+            if not pin_hbm and quad_fits_vmem(scene, packet=pk):
                 return pallas_quad_any_hit(scene, origin, direction,
                                            active,
                                            interpret=not on_tpu,
                                            packet=pk)
-            if quad_hbm_fits(scene, packet=pk):
+            if not pin_hbm and quad_hbm_fits(scene, packet=pk):
                 return pallas_quad_any_hit(scene, origin, direction,
                                            active,
                                            interpret=not on_tpu,
                                            packet=pk, hbm_leaves=True)
-        if pair_fits_vmem(scene, packet=pk):
+        if not pin_hbm and pair_fits_vmem(scene, packet=pk):
             # Pair tier: carries the instanced object-space leaf
             # decode (two-level scenes) and serves flat scenes whose
             # quad table is absent.
