@@ -173,8 +173,10 @@ def main() -> int:
 
     # VKPT_LEAF accepted as an alias: a round-4 measurement plan passed
     # it and silently benchmarked leaf 14 (BENCH_LEAF is canonical).
+    # Default 28: split-leaf stack kernels (round-4 plan7/plan8 —
+    # exact, headline 5.75 vs 5.68, convergence 2.77 vs 2.70 spp/s).
     max_leaf = int(os.environ.get(
-        "BENCH_LEAF", os.environ.get("VKPT_LEAF", 14)))
+        "BENCH_LEAF", os.environ.get("VKPT_LEAF", 28)))
     scene = gltf.load(scene_path)
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=max_leaf)
     print(

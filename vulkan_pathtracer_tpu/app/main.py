@@ -78,12 +78,14 @@ def main(argv=None) -> int:
             f"{dev.inst_inv.shape[0]} instances", file=sys.stderr,
         )
     else:
-        # Leaf blocks of 14 are the measured best on TPU (headline
-        # 3.07 vs 2.75 Mrays/s at 8); CPU/interpret runs stay cheap on
-        # the small test scenes either way.  VKPT_LEAF overrides.
+        # Leaf blocks of 28 (stored as 2x14-tri split rows,
+        # ops/pallas_pair._leaf_rows_per_block) are the measured best
+        # on TPU: isolated secondaries 538->505 ms, headline 5.68 ->
+        # 5.75 Mrays/s, convergence 2.70->2.77 spp/s — exact, same
+        # checksums (round-4 plan7/plan8).  VKPT_LEAF overrides.
         dev = build_device_scene(
             scene, build_bvh=(config.traversal != "brute"),
-            max_leaf_size=int(os.environ.get("VKPT_LEAF", "14")),
+            max_leaf_size=int(os.environ.get("VKPT_LEAF", "28")),
         )
     if config.enable_validation and dev.has_bvh:
         from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh

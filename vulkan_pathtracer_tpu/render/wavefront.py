@@ -413,13 +413,18 @@ def _anyhit_enabled(scene) -> bool:
         return False
     if not getattr(scene, "emissive_free", False):
         return False
-    if (_IN_CHUNKED_TRACE
-            and os.environ.get("VKPT_ANYHIT_CHUNKED", "0") != "1"):
-        # Default OFF in chunked bodies until the mixed
-        # closest+any-hit lax.map program is measured fault-free on
-        # real TPU (the pair+quad mix faulted the worker; the driver
-        # runs bench.py unattended, so don't gamble its headline).
-        return False
+    if _IN_CHUNKED_TRACE:
+        gate = os.environ.get("VKPT_ANYHIT_CHUNKED")
+        if gate is not None:
+            return gate == "1"
+        # Measured default (plan8, real TPU): under an HBM-leaf
+        # kernel pin the joint chunk bodies dispatch the HBM any-hit
+        # kernel (see _any_hit), and that program is fault-free AND
+        # faster — 3.024 vs 2.77 spp/s at 1080p B=32 leaf-28.  Any
+        # OTHER chunked shape would mix in-VMEM closest+any-hit
+        # kernels in one lax.map — the measured worker-kill pattern —
+        # so it stays off unless VKPT_ANYHIT_CHUNKED=1 forces it.
+        return _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm")
     return True
 
 
