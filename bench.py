@@ -173,11 +173,13 @@ def main() -> int:
 
     # VKPT_LEAF accepted as an alias: a round-4 measurement plan passed
     # it and silently benchmarked leaf 14 (BENCH_LEAF is canonical).
-    # Default 28: split-leaf stack kernels (round-4 plan7/plan8 —
-    # exact, headline 5.75 vs 5.68, convergence 2.77 vs 2.70 spp/s).
-    max_leaf = int(os.environ.get(
-        "BENCH_LEAF", os.environ.get("VKPT_LEAF", 28)))
+    # Default: size-keyed leaf policy (round-4 plan7-10 — leaf-28
+    # split rows win on production scenes, exact: headline 5.76 vs
+    # 5.68, convergence 3.03 vs 2.70 spp/s; small scenes lose ~11%).
     scene = gltf.load(scene_path)
+    default_leaf = 28 if scene.triangle_count >= 50_000 else 14
+    max_leaf = int(os.environ.get(
+        "BENCH_LEAF", os.environ.get("VKPT_LEAF", default_leaf)))
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=max_leaf)
     print(
         f"bench scene: {dev.num_triangles} triangles, "

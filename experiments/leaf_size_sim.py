@@ -58,7 +58,9 @@ def main():
     print("L    Nn      leaves  nodes/pkt leaf/pkt  "
           "exactVPU-ms mxu-ms  (cycle model, quad collapse)",
           flush=True)
-    for L in (8, 14, 20, 28, 32):
+    sizes = tuple(int(x) for x in os.environ.get(
+        "SIM_LEAVES", "8,14,20,28,32").split(","))
+    for L in sizes:
         dev = build_device_scene(scene, build_bvh=True,
                                  max_leaf_size=L)
         rows = np.asarray(dev.bvh_rows).reshape(dev.bvh_orders, -1, 128)
@@ -79,9 +81,11 @@ def main():
         # pipelined mins + 40 stack = ~370 cyc at pk2048.
         per_node = 370.0
         q_nodes = nodes_pkt / 2
-        # Exact leaf visit: 126 scalar loads*4 + 55 vec ops/tri *
-        # B * 2vregs * 0.8.
-        exact_leaf = 126 * 4 + 55 * L * 2 * 0.8
+        # Exact leaf visit: 126 scalar loads*4 PER SUB-ROW (split-leaf
+        # rows carry ceil(L/14) rows per block) + 55 vec ops/tri * B
+        # * 2vregs * 0.8.
+        rpl = max(1, -(-L // 14))
+        exact_leaf = 126 * 4 * rpl + 55 * L * 2 * 0.8
         # MXU leaf visit: matmul ~16 N-tiles * 3 passes * ~10cyc +
         # epilogue ~25 ops * ceil(B/8) sublane-tiles * 2vregs * 0.8 *
         # 16 lane-tiles/8 + relayout ~5*16.
@@ -92,7 +96,8 @@ def main():
                     * packets / f_hz * 1e3)
         mxu_ms = ((q_nodes * per_node + leaf_pkt * mxu_leaf)
                   * packets / f_hz * 1e3)
-        note = "" if L <= 14 else "(exact tier N/A: rows>128 lanes)"
+        note = "" if L <= 14 or L % 14 == 0 else \
+            "(exact tier N/A: not a 14-multiple)"
         print(f"{L:<4} {dev.bvh_bmin.shape[0]:<7} "
               f"{np.asarray(dev.tri_blocks).shape[0]:<7} "
               f"{nodes_pkt:<9.0f} {leaf_pkt:<9.0f} "

@@ -78,14 +78,19 @@ def main(argv=None) -> int:
             f"{dev.inst_inv.shape[0]} instances", file=sys.stderr,
         )
     else:
-        # Leaf blocks of 28 (stored as 2x14-tri split rows,
-        # ops/pallas_pair._leaf_rows_per_block) are the measured best
-        # on TPU: isolated secondaries 538->505 ms, headline 5.68 ->
-        # 5.75 Mrays/s, convergence 2.70->2.77 spp/s — exact, same
-        # checksums (round-4 plan7/plan8).  VKPT_LEAF overrides.
+        # Measured leaf-size policy (round-4 plan7-10): leaf-28 split
+        # rows (ops/pallas_pair._leaf_rows_per_block) win on
+        # production scenes — isolated secondaries 538->505 ms,
+        # headline 5.68->5.76 Mrays/s, convergence 2.70->3.03 spp/s,
+        # exact — but LOSE ~11% below ~10k tris (Cornell 252->284 ms,
+        # sphere-9.2k 244->275; shallow trees can't pay for the
+        # doubled per-leaf scalar chain), with columns-56k neutral.
+        # Cut at 50k.  VKPT_LEAF overrides.
+        default_leaf = 28 if scene.triangle_count >= 50_000 else 14
         dev = build_device_scene(
             scene, build_bvh=(config.traversal != "brute"),
-            max_leaf_size=int(os.environ.get("VKPT_LEAF", "28")),
+            max_leaf_size=int(os.environ.get("VKPT_LEAF",
+                                             default_leaf)),
         )
     if config.enable_validation and dev.has_bvh:
         from vulkan_pathtracer_tpu.ops.bvh import build_bvh_host, validate_bvh

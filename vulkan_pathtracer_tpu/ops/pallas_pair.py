@@ -80,6 +80,23 @@ def _leaf_rows_per_block(block: int):
     return None
 
 
+def _split_leaf_table(tris):
+    """Validate + split an exact (n_leaves, block*9) leaf table for
+    the stack kernels: returns (tris, block, rpl) with the split-row
+    reshape applied when block > 14 (see _leaf_rows_per_block).
+    Raises for leaf sizes the kernels cannot run."""
+    n_leaves, row_w = tris.shape
+    block = row_w // 9
+    rpl = _leaf_rows_per_block(block)
+    if rpl is None:
+        raise ValueError(
+            f"stack kernels cannot run leaf block {block} "
+            f"(needs block <= 14 or a multiple of 14 <= 56)")
+    if rpl > 1:
+        tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+    return tris, block, rpl
+
+
 def _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row, slot: int,
                rpl: int):
     """Async copy descriptor for one leaf block's rows (HBM-streamed
@@ -1590,16 +1607,8 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
         rpl = 1
     else:
-        n_leaves, row_w = tris.shape
-        block = row_w // 9
-        rpl = _leaf_rows_per_block(block)
-        if rpl is None:
-            raise ValueError(
-                f"stack kernels cannot run leaf block {block} "
-                f"(needs block <= 14 or a multiple of 14 <= 56)")
-        if rpl > 1:
-            # Split-leaf layout (see _leaf_rows_per_block).
-            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+        n_leaves = tris.shape[0]
+        tris, block, rpl = _split_leaf_table(tris)
         tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         leaf_bytes = n_leaves * 512 * rpl
@@ -1728,17 +1737,9 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
         leaf_row_bytes = 10 * row_w * 4
         rpl = 1
     else:
-        n_leaves, row_w = tris.shape
-        block = row_w // 9
-        rpl = _leaf_rows_per_block(block)
-        if rpl is None:
-            raise ValueError(
-                f"stack kernels cannot run leaf block {block} "
-                f"(needs block <= 14 or a multiple of 14 <= 56)")
-        if rpl > 1:
-            # Split-leaf layout (see _leaf_rows_per_block).
-            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
-            row_w = tris.shape[1]
+        n_leaves = tris.shape[0]
+        tris, block, rpl = _split_leaf_table(tris)
+        row_w = tris.shape[1]
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
@@ -1874,19 +1875,9 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
         leaf_row_bytes = 10 * row_w * 4
         rpl = 1
     else:
-        n_leaves, row_w = tris.shape
-        block = row_w // 9
-        rpl = _leaf_rows_per_block(block)
-        if rpl is None:
-            raise ValueError(
-                f"stack kernels cannot run leaf block {block} "
-                f"(needs block <= 14 or a multiple of 14 <= 56)")
-        if rpl > 1:
-            # Split-leaf layout: free row-major reshape into 14-tri
-            # sub-rows so the MT scalar loads keep static lane
-            # indices < 128 (see _leaf_rows_per_block).
-            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
-            row_w = tris.shape[1]
+        n_leaves = tris.shape[0]
+        tris, block, rpl = _split_leaf_table(tris)
+        row_w = tris.shape[1]
     g, _, _, packet = rays.shape
 
     if hbm_leaves:
@@ -2102,16 +2093,8 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         leaf_bytes = n_leaves * 10 * tris.shape[2] * 4
         rpl = 1
     else:
-        n_leaves, row_w = tris.shape
-        block = row_w // 9
-        rpl = _leaf_rows_per_block(block)
-        if rpl is None:
-            raise ValueError(
-                f"stack kernels cannot run leaf block {block} "
-                f"(needs block <= 14 or a multiple of 14 <= 56)")
-        if rpl > 1:
-            # Split-leaf layout (see _leaf_rows_per_block).
-            tris = tris.reshape(n_leaves * rpl, (block // rpl) * 9)
+        n_leaves = tris.shape[0]
+        tris, block, rpl = _split_leaf_table(tris)
         tri_spec = pl.BlockSpec(tris.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         leaf_bytes = n_leaves * 512 * rpl

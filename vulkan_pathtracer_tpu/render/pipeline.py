@@ -249,15 +249,23 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
         # A chunked body contains EVERY bounce phase in one lax.map
         # trace; mixing the pair and quad stack kernels there faulted
         # the TPU worker (see wavefront.uniform_stack_kernel).  Force
-        # one family — quad, the measured-best full-frame secondary
-        # (and within noise of pair on primaries).  VKPT_CHUNK_KERNEL
-        # overrides (quad|pair|packet|mixed).
+        # one family: _joint_kernel's measured policy (quad_hbm on
+        # production scenes — at the leaf-28 default the HBM twin is
+        # within noise of in-VMEM quad, 503.9 vs 504.9 ms isolated —
+        # "mixed" on small ones, where the guard below then pins
+        # quad, the measured-best full-frame single family).
+        # VKPT_CHUNK_KERNEL overrides (quad|quad_hbm|pair|packet).
         from vulkan_pathtracer_tpu.render.wavefront import (
+            _joint_kernel,
             uniform_stack_kernel,
         )
 
         c = n // num_chunks
-        chunk_kernel = os.environ.get("VKPT_CHUNK_KERNEL", "quad")
+        chunk_kernel = os.environ.get("VKPT_CHUNK_KERNEL")
+        if not chunk_kernel:
+            chunk_kernel = _joint_kernel(scene)
+            if chunk_kernel == "mixed":
+                chunk_kernel = "quad"
         if (chunk_kernel in ("mixed", "") and
                 jax.default_backend() == "tpu"):
             # Hard guard: mixed stack-kernel families inside one

@@ -135,12 +135,22 @@ def _joint_kernel(scene):
     if kind:
         return kind
     blocks = getattr(scene, "tri_blocks", None)
-    if (blocks is not None
-            and blocks.shape[0] * 512 > _JOINT_HBM_LEAF_BYTES):
-        from vulkan_pathtracer_tpu.ops.pallas_pair import quad_hbm_fits
+    if blocks is None:
+        return "mixed"
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        _leaf_rows_per_block,
+        quad_hbm_fits,
+    )
 
-        if quad_hbm_fits(scene):
-            return "quad_hbm"
+    # In-VMEM leaf-table footprint: 512 B per stored 128-lane row,
+    # times the split-row factor for leaf blocks > 14 tris (rpl is
+    # None when the stack kernels cannot run this leaf size at all —
+    # the dispatch then falls to XLA and no pin is needed).
+    rpl = _leaf_rows_per_block(blocks.shape[1] // 9)
+    if (rpl is not None
+            and blocks.shape[0] * 512 * rpl > _JOINT_HBM_LEAF_BYTES
+            and quad_hbm_fits(scene)):
+        return "quad_hbm"
     return "mixed"
 
 
@@ -395,7 +405,39 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     scene, origin, direction, active,
                     interpret=not on_tpu, seed=seed, hbm_leaves=True,
                 )
+    _warn_xla_fallback(scene)
     return bvh_closest_hit(scene, origin, direction, active, seed=seed)
+
+
+_XLA_FALLBACK_WARNED = set()
+
+
+def _warn_xla_fallback(scene) -> None:
+    """One-time stderr note when an EXPLICIT kernel override lands on
+    the XLA traversal anyway — e.g. VKPT_KERNEL_SECONDARY=packet at
+    the leaf-28 default (the legacy packet/dense tiers only run
+    one-row leaf blocks <= 14 tris; the stack kernels carry the
+    split-row layout).  Silent at defaults: the auto fallback chain
+    choosing XLA is normal for tiny/degenerate scenes."""
+    import os
+    import sys
+
+    sel = {k: os.environ[k] for k in
+           ("VKPT_KERNEL_PRIMARY", "VKPT_KERNEL_SECONDARY",
+            "VKPT_CHUNK_KERNEL", "VKPT_JOINT_KERNEL")
+           if os.environ.get(k)}
+    if not sel or not getattr(scene, "has_bvh", False):
+        return
+    key = (tuple(sorted(sel.items())),
+           int(getattr(scene, "max_leaf_size", 0)))
+    if key in _XLA_FALLBACK_WARNED:
+        return
+    _XLA_FALLBACK_WARNED.add(key)
+    print(f"vkpt: kernel override {sel} fell through every pallas "
+          f"tier to the XLA traversal (leaf "
+          f"{getattr(scene, 'max_leaf_size', '?')} rows unsupported "
+          "by that tier, or its VMEM gate rejected the scene)",
+          file=sys.stderr)
 
 
 def _anyhit_enabled(scene) -> bool:
@@ -463,7 +505,13 @@ def _any_hit(scene, origin, direction, active, traversal: str):
         pin_hbm = _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm")
         if not getattr(scene, "instanced", False):
             if pin_hbm:
-                if quad_hbm_fits(scene, packet=pk):
+                # Only the quad_hbm pin has a same-family any-hit
+                # kernel; under oct_hbm dispatching quad any-hit
+                # would MIX families in one chunked body (the
+                # worker-kill shape) — fall to closest-hit instead,
+                # which honors the pin itself.
+                if (_UNIFORM_STACK_KERNEL == "quad_hbm"
+                        and quad_hbm_fits(scene, packet=pk)):
                     return pallas_quad_any_hit(
                         scene, origin, direction, active,
                         interpret=not on_tpu, packet=pk,
