@@ -139,13 +139,28 @@ class ShardedRenderPipeline:
 
 
 def replicate_scene(scene: DeviceScene, mesh: Mesh) -> DeviceScene:
-    """Place every scene array replicated over the mesh."""
+    """Place every scene array replicated over the mesh.
+
+    Multi-process meshes need ``jax.make_array_from_callback`` rather
+    than ``jax.device_put``: device_put runs a cross-process value-
+    equality check, and several baked tables pack int32 payloads in
+    float32 lanes (e.g. bvh_packed's leaf_first = -1 -> 0xFFFFFFFF =
+    NaN), which the numeric check rejects (NaN != NaN) even when the
+    bakes are byte-identical on every process — found by the REAL
+    two-process group test (tests/test_distributed_real.py)."""
     sharding = NamedSharding(mesh, P())
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if x is None:
             return None
-        return jax.device_put(x, sharding)
+        if not multiprocess:
+            return jax.device_put(x, sharding)
+        import numpy as np
+
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx])
 
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     return jax.tree_util.tree_unflatten(treedef, [put(l) for l in leaves])
