@@ -91,7 +91,8 @@ def main():
         scene = gltf.load(path)
         t0 = time.perf_counter()
         dev = build_device_scene(scene, build_bvh=True,
-                                 max_leaf_size=14)
+                                 max_leaf_size=int(os.environ.get(
+                                     "LEAF", 14)))
         bake_s = time.perf_counter() - t0
         tier = tier_of(dev)
         print(f"detail={detail}: tris={dev.num_triangles} "
