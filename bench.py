@@ -120,7 +120,10 @@ def main() -> int:
     from vulkan_pathtracer_tpu.models.camera import Camera
     from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
     from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
-    from vulkan_pathtracer_tpu.utils.config import RenderConfig
+    from vulkan_pathtracer_tpu.utils.config import (
+        RenderConfig,
+        default_max_leaf,
+    )
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -173,11 +176,10 @@ def main() -> int:
 
     # VKPT_LEAF accepted as an alias: a round-4 measurement plan passed
     # it and silently benchmarked leaf 14 (BENCH_LEAF is canonical).
-    # Default: size-keyed leaf policy (round-4 plan7-10 — leaf-28
-    # split rows win on production scenes, exact: headline 5.76 vs
-    # 5.68, convergence 3.03 vs 2.70 spp/s; small scenes lose ~11%).
+    # Default: size-keyed leaf policy (measured numbers in
+    # utils/config.default_max_leaf's comment).
     scene = gltf.load(scene_path)
-    default_leaf = 28 if scene.triangle_count >= 50_000 else 14
+    default_leaf = default_max_leaf(scene.triangle_count)
     max_leaf = int(os.environ.get(
         "BENCH_LEAF", os.environ.get("VKPT_LEAF", default_leaf)))
     dev = build_device_scene(scene, build_bvh=True, max_leaf_size=max_leaf)

@@ -109,3 +109,18 @@ def test_anyhit_dispatch_honors_hbm_pin(small_dev, monkeypatch):
     with wf.uniform_stack_kernel("oct_hbm"):
         wf._any_hit(small_dev, o, d, None, "pallas")
     assert not calls  # fell to closest-hit, no quad any-hit dispatch
+
+
+def test_size_keyed_leaf_policy():
+    # One shared policy function (utils/config.py) feeds both the app
+    # and bench defaults — round-4 plan7-10 measured leaf 28 winning
+    # only at >= 50k tris (small scenes ~11% worse).
+    from vulkan_pathtracer_tpu.utils.config import (
+        LEAF28_MIN_TRIS,
+        default_max_leaf,
+    )
+
+    assert default_max_leaf(0) == 14
+    assert default_max_leaf(LEAF28_MIN_TRIS - 1) == 14
+    assert default_max_leaf(LEAF28_MIN_TRIS) == 28
+    assert default_max_leaf(3_300_000) == 28

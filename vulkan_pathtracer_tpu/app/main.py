@@ -23,6 +23,7 @@ from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
 from vulkan_pathtracer_tpu.render.output import Accumulator, upsample_nearest
 from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
 from vulkan_pathtracer_tpu.utils.cli import parse_args
+from vulkan_pathtracer_tpu.utils.config import default_max_leaf
 from vulkan_pathtracer_tpu.utils.png import write_png
 from vulkan_pathtracer_tpu.utils.stats import Stats
 from vulkan_pathtracer_tpu.utils.timer import Timer
@@ -78,15 +79,9 @@ def main(argv=None) -> int:
             f"{dev.inst_inv.shape[0]} instances", file=sys.stderr,
         )
     else:
-        # Measured leaf-size policy (round-4 plan7-10): leaf-28 split
-        # rows (ops/pallas_pair._leaf_rows_per_block) win on
-        # production scenes — isolated secondaries 538->505 ms,
-        # headline 5.68->5.76 Mrays/s, convergence 2.70->3.03 spp/s,
-        # exact — but LOSE ~11% below ~10k tris (Cornell 252->284 ms,
-        # sphere-9.2k 244->275; shallow trees can't pay for the
-        # doubled per-leaf scalar chain), with columns-56k neutral.
-        # Cut at 50k.  VKPT_LEAF overrides.
-        default_leaf = 28 if scene.triangle_count >= 50_000 else 14
+        # Size-keyed leaf policy (measured; utils/config.py has the
+        # numbers).  VKPT_LEAF overrides.
+        default_leaf = default_max_leaf(scene.triangle_count)
         dev = build_device_scene(
             scene, build_bvh=(config.traversal != "brute"),
             max_leaf_size=int(os.environ.get("VKPT_LEAF",

@@ -73,3 +73,20 @@ class RenderConfig:
             self.ray_chunk,
             self.seed_secondary,
         )
+
+
+# Measured leaf-size policy (round-4 plan7-10): leaf-28 split rows
+# (ops/pallas_pair._leaf_rows_per_block) win on production scenes —
+# isolated secondaries 538->505 ms, headline 5.68->5.76 Mrays/s,
+# convergence 2.70->3.03 spp/s, exact — but LOSE ~11% below ~10k tris
+# (Cornell 252->284 ms, sphere-9.2k 244->275; shallow trees can't pay
+# for the doubled per-leaf scalar chain), with columns-56k neutral.
+# Cut at 50k.  Instanced scenes stay at 14 regardless (fly-through
+# 1.85 vs 1.98 fps measured) — callers on that path pass leaf sizes
+# explicitly and do not consult this.
+LEAF28_MIN_TRIS = 50_000
+
+
+def default_max_leaf(triangle_count: int) -> int:
+    """Size-keyed BVH leaf size (app + bench default; VKPT_LEAF overrides)."""
+    return 28 if triangle_count >= LEAF28_MIN_TRIS else 14
