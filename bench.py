@@ -138,9 +138,25 @@ def main() -> int:
     # undersized the load (56k tris) and misrepresented bounce-ray
     # behavior (open sky everywhere).  BENCH_SCENE=columns restores
     # the old stand-in.
+    # BENCH_SCENE accepts either a procedural kind (atrium, columns,
+    # box, cornell, sphere) or a PATH to a real .glb/.gltf asset —
+    # BASELINE configs name Box/DamagedHelmet/Sponza, and the moment a
+    # real asset is available the headline must be able to consume it
+    # without code changes (VERDICT r4 item 6; Scene.zig:79-136 loads
+    # arbitrary glTF).  No real assets ship in this zero-egress
+    # environment, so the default stays the procedural atrium stand-in
+    # (documented in BASELINE.md).
     scene_kind = os.environ.get("BENCH_SCENE", "atrium")
+    scene_is_file = scene_kind.lower().endswith((".glb", ".gltf"))
+    if scene_is_file and not os.path.exists(scene_kind):
+        print(f"BENCH_SCENE file not found: {scene_kind}",
+              file=sys.stderr)
+        return 1
 
-    if scene_kind in ("atrium", "atrium_mixed"):
+    if scene_is_file:
+        scene_path = scene_kind
+        scene_kind = os.path.basename(scene_kind)
+    elif scene_kind in ("atrium", "atrium_mixed"):
         from assets.procedural import make_atrium
 
         mixed = scene_kind == "atrium_mixed"

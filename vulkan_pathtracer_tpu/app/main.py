@@ -53,7 +53,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     print(f"loading scene: {args.scene_path}", file=sys.stderr)
-    scene = gltf.load(args.scene_path)
+    scene = gltf.load(args.scene_path,
+                      quirk_mode=args.gltf_quirk_mode)
     print(
         f"scene: {len(scene.instances)} instances, "
         f"{len(scene.primitives)} primitives, "

@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-frames", type=int, default=1,
                    help="progressive frames per device dispatch (static "
                         "camera only; amortizes dispatch overhead)")
+    p.add_argument("--gltf-quirk-mode", action="store_true",
+                   help="reproduce the reference's node-flattening "
+                        "quirk (Scene.zig:515-532: non-mesh nodes pass "
+                        "their inherited matrix through, ignoring their "
+                        "own TRS) for end-to-end image parity on scenes "
+                        "with non-mesh-node transforms")
     p.add_argument("--pool-frames", type=int, default=1,
                    help="frames-in-flight: render N camera-path frames "
                         "as ONE pooled wavefront (1 spp; denser bounce "
