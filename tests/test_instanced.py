@@ -145,6 +145,7 @@ def test_instanced_packet_kernel_matches_xla(scenes):
     assert (np.asarray(got.tri) == np.asarray(ref.tri)).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_update_instance_transforms(scenes):
     """O(transforms) animation: moving instances on-device must match
     a flat re-bake of the transformed host scene."""

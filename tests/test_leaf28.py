@@ -67,6 +67,7 @@ def test_leaf_rows_per_block():
     ],
     ids=["quad", "quad_hbm", "pair", "oct"],
 )
+@pytest.mark.slow
 def test_leaf28_closest_matches_xla(dev28, call, kw):
     # Same tolerances as the leaf-14 parity tests (test_pallas.py):
     # traversal ORDER differs from the XLA path, so ties between

@@ -205,6 +205,7 @@ def test_rebalanced_pooled_pallas_kernel(box_dev, monkeypatch):
     assert float(rays) == pytest.approx(float(ref_rays))
 
 
+@pytest.mark.slow
 def test_anyhit_sharded_tiles_and_pooled(monkeypatch, tmp_path_factory):
     """Any-hit last-bounce kernels inside shard_map (round-3 VERDICT:
     zero coverage): an emissive-free scene with VKPT_ANYHIT=1 and
@@ -296,6 +297,7 @@ def test_height_divisibility_error(box_dev):
                             width=16, height=17)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -81,6 +81,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
+from vulkan_pathtracer_tpu.ops.pallas_traverse import vmem_clamp
 from vulkan_pathtracer_tpu.ops.pallas_pair import (
     PAIR_BIG,
     STACK_CAP,
@@ -627,7 +628,7 @@ def _frontier_traverse(nodes, tris, rays, *, interpret=False,
     # leaf tier's own temps.
     margin = (16 if mxu else 8) * 1024 * 1024
     need = n_rows * 8 * lw * 4 + leaf_resident + margin
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -947,7 +948,7 @@ def _frontier_anyhit(nodes, tris, rays, *, interpret=False,
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_bytes
     margin = (16 if mxu else 8) * 1024 * 1024
     need = n_rows * 8 * lw * 4 + leaf_resident + margin
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
+from vulkan_pathtracer_tpu.ops.pallas_traverse import vmem_clamp
 
 _LANE = 128
 STACK_CAP = 96  # >= max tree depth (SAH/LBVH builds are ~2logN; the
@@ -1654,7 +1655,7 @@ def _pair_anyhit(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         need += inst_inv.shape[0] * 512
         if mxu:
             need += inst_feat.shape[0] * 10 * _LANE * 4
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1787,7 +1788,7 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
     # (+ det-scaled slices) per leaf visit — budget extra scratch.
     margin = (12 if mxu else 4) * 1024 * 1024
     need = n_rows * 512 + leaf_resident + margin
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1930,7 +1931,7 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
     # (+ det-scaled slices) per leaf visit — budget extra scratch.
     margin = (12 if mxu else 4) * 1024 * 1024
     need = n_rows * 512 + leaf_resident + margin
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -2140,7 +2141,7 @@ def _pair_traverse(pairs, tris, rays, inst_inv=None, inst_feat=None, *,
         need += inst_inv.shape[0] * 512
         if mxu:
             need += inst_feat.shape[0] * 10 * _LANE * 4
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

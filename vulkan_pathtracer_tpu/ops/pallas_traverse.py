@@ -60,6 +60,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vulkan_pathtracer_tpu.ops.intersect import Hit, MISS_T, TMAX, TMIN
 
+
+def vmem_clamp(need: int) -> int:
+    """Scoped-VMEM budget for a pallas call: clamp(need, floor, cap).
+
+    VKPT_VMEM_FLOOR_MB (16) / VKPT_VMEM_CAP_MB (120) expose the clamp
+    for the round-5 VMEM-pressure audit (VERDICT r4 item 2): the floor
+    is MARGIN above the kernel's static need — shrinking it hands VMEM
+    back to the surrounding chunked program (the quad_hbm 12% win came
+    from exactly that), raising it gives Mosaic more room to
+    double-buffer.  Never clamps below need (the kernel would fail to
+    compile).
+    """
+    floor = int(os.environ.get("VKPT_VMEM_FLOOR_MB", "16")) * 1024 * 1024
+    cap = int(os.environ.get("VKPT_VMEM_CAP_MB", "120")) * 1024 * 1024
+    return min(max(need, floor), max(cap, need))
+
+
 PACKET = int(os.environ.get("VKPT_PACKET", 2048))  # rays/packet (x128)
 INTERLEAVE = 1  # packets per kernel body (C): measured flat in C on
 # uncontended runs (8.8-9.1 Mrays/s for C in {1,2,4}); keep the
@@ -356,7 +373,7 @@ def _packet_traverse(nodes8, tris, rays, octants, inst_inv=None, *,
     need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
     if instanced:
         need += inst_inv.shape[0] * 512
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -765,7 +782,7 @@ def _packet_traverse_pipe(nodes8, tris, rays, octants, *, interpret=False):
     )
     kernel = _make_pipe_kernel(n_nodes, block, packet, TMIN)
     need = 2 * n_nodes * 512 + n_leaves * 512 + 4 * 1024 * 1024
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1261,7 +1278,7 @@ def _packet_traverse_gmt(nodes8, tris, rays, octants, *, interpret=False,
     else:
         kernel = _make_gmt_kernel(n_nodes, block, packet, TMIN, gf)
     need = 2 * n_nodes * 512 + n_leaves * 512 + 8 * 1024 * 1024
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1451,7 +1468,7 @@ def _packet_traverse_wide(wnodes, tris, rays, octants, *, interpret=False):
     )
     kernel = _make_wide_kernel(n_wide, block, packet, TMIN)
     need = 2 * n_wide * 4096 + n_leaves * 512 + 4 * 1024 * 1024
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1929,7 +1946,7 @@ def _dense_traverse(rows, tris, rays, octants, inst_inv=None, *,
     need = node_rows_resident * 512 + leaf_resident + 8 * 1024 * 1024
     if instanced:
         need += inst_inv.shape[0] * 512
-    vmem_limit = min(max(need, 16 * 1024 * 1024), 120 * 1024 * 1024)
+    vmem_limit = vmem_clamp(need)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
