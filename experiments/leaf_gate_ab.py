@@ -540,6 +540,29 @@ def main():
                 dev, o, d, alive, packet=pk, leaf_gate=False)))
             for pk in (2048, 3072, 4096, 5120, 6144)
         ]
+    elif which == "vgate":
+        # Round-5 vreg-gated leaf MT (groupgate_sim modeled 1.33x at
+        # pk4096 on these exact rays): gated vs ungated quad across
+        # packets, VMEM + HBM leaf tiers.  Checksums must match
+        # bit-exactly (gating is an exact skip).
+        from vulkan_pathtracer_tpu.ops.pallas_pair import (
+            pallas_quad_closest_hit,
+        )
+
+        def qv(pk, hbm, g):
+            return lambda: pallas_quad_closest_hit(
+                dev, o, d, alive, packet=pk, hbm_leaves=hbm, gated=g)
+
+        variants = [
+            ("quad pk2048 ungated ", qv(2048, False, False)),
+            ("quad pk2048 gated   ", qv(2048, False, True)),
+            ("quad pk4096 ungated ", qv(4096, False, False)),
+            ("quad pk4096 gated   ", qv(4096, False, True)),
+            ("quad pk8192 gated   ", qv(8192, False, True)),
+            ("qhbm pk4096 ungated ", qv(4096, True, False)),
+            ("qhbm pk4096 gated   ", qv(4096, True, True)),
+            ("qhbm pk8192 gated   ", qv(8192, True, True)),
+        ]
     elif which == "pair":
         # Pair-stack BVH2 kernel vs the preorder packet kernel on the
         # SAME (6d-sorted) rays: two sibling boxes per visit, twin

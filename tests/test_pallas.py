@@ -503,3 +503,28 @@ def test_wavefront_dispatch_quad_hbm_override(cols_dev, monkeypatch):
     assert seen.get("hbm_leaves") is True
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hbm", [False, True])
+def test_quad_gated_bitexact(cols_dev, hbm):
+    """Round-5 vreg-gated leaf MT: gating skips (8,128) vreg groups
+    whose lanes ALL failed the leaf slab test — an exact skip (a tri
+    inside the leaf AABB cannot be hit at a t the slab interval
+    excluded), so gated output must be BIT-identical to ungated, in
+    both the in-VMEM and HBM-streamed leaf tiers."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_closest_hit,
+    )
+
+    o, d = _rays(3000, seed=55)
+    rng = np.random.default_rng(5)
+    active = jnp.asarray(rng.random(3000) < 0.8)
+    ref = pallas_quad_closest_hit(cols_dev, o, d, active,
+                                  interpret=True, packet=2048,
+                                  hbm_leaves=hbm)
+    got = pallas_quad_closest_hit(cols_dev, o, d, active,
+                                  interpret=True, packet=2048,
+                                  hbm_leaves=hbm, gated=True)
+    for f in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)))

@@ -887,13 +887,18 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                       tmin: float, width: int,
                       hbm_leaves: bool = False,
                       mxu_precision=None,
-                      rows_per_leaf: int = 1):
+                      rows_per_leaf: int = 1,
+                      gated: bool = False):
     """``mxu_precision`` non-None switches the leaf phase to the MXU
     coefficient-matmul tier (ops/mxu_mt.py — RELAXED parity):
     tris_ref then holds (n_leaves, 10, >=4*block) coefficient rows
-    instead of (n_leaves, block*9) vertex rows."""
+    instead of (n_leaves, block*9) vertex rows.  ``gated``: vreg-
+    granular leaf MT (round 5; requires packet %% 1024 == 0, exact)."""
     sub = packet // _LANE
     mxu = mxu_precision is not None
+    if gated:
+        assert not mxu, "gated leaf phase is exact-tier only"
+        assert sub % 8 == 0, "gated needs packet % 1024 == 0"
 
     def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
                *rest):
@@ -921,15 +926,20 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
         v0 = comps[10]
         big = jnp.float32(PAIR_BIG)
 
-        def mt_block(row, args, slot=0):
+        def mt_block(row, args, slot=0, gsl=None, wait=True):
+            """gsl: static sublane slice — the MT then runs on that
+            vreg group only (gated leaf phase); wait=False skips the
+            HBM-slot semaphore wait (the gated caller waits once per
+            slot before fanning out groups)."""
             t_best, tri_best, u_best, v_best = args
             tri_base = row * block
             if hbm_leaves:
                 # The slot's row DMA was issued when the leaf hit was
                 # detected; wait here (MT of earlier slots overlaps
                 # the copies of later ones).
-                _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
-                           slot, rows_per_leaf).wait()
+                if wait:
+                    _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
+                               slot, rows_per_leaf).wait()
                 tread = lambda rr, base: leaf_scratch[
                     slot if rows_per_leaf == 1
                     else slot * rows_per_leaf + rr, base]
@@ -937,6 +947,13 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                 tread = lambda rr, base: tris_ref[
                     row if rows_per_leaf == 1
                     else row * rows_per_leaf + rr, base]
+            if gsl is None:
+                gox, goy, goz, gdx, gdy, gdz = ox, oy, oz, dx, dy, dz
+                gtl, gtnear = tl, tnear
+            else:
+                gox, goy, goz = ox[gsl], oy[gsl], oz[gsl]
+                gdx, gdy, gdz = dx[gsl], dy[gsl], dz[gsl]
+                gtl, gtnear = tl[gsl], tnear[gsl]
             sub_b = block // rows_per_leaf
             for k in range(block):
                 rr, kk = divmod(k, sub_b)
@@ -950,24 +967,24 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                 e2x = tread(rr, base + 6)
                 e2y = tread(rr, base + 7)
                 e2z = tread(rr, base + 8)
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
+                px = gdy * e2z - gdz * e2y
+                py = gdz * e2x - gdx * e2z
+                pz = gdx * e2y - gdy * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 front = det > 0.0
                 inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
+                tx = gox - v0x
+                ty = goy - v0y
+                tz = goz - v0z
                 u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                v = (gdx * qx + gdy * qy + gdz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                t_lim = jnp.minimum(t_best, tl)
+                t_lim = jnp.minimum(t_best, gtl)
                 hit = (front & (u >= 0.0) & (v >= 0.0)
-                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
+                       & (u + v <= 1.0) & (t > tmin) & (t >= gtnear)
                        & (t < t_lim))
                 t_best = jnp.where(hit, t, t_best)
                 tri_best = jnp.where(hit, tri_base + k, tri_best)
@@ -1061,17 +1078,77 @@ def _make_nary_kernel(n_rows: int, block: int, packet: int,
                         row = (-encs[s]).astype(jnp.int32) - 1
                         _leaf_copy(tris_ref, leaf_scratch, leaf_sems,
                                    row, s, rows_per_leaf).start()
-            hb = (t_best, tri_best, u_best, v_best)
-            for s in range(width):
+            leaf_hit = [jnp.logical_and(hits[s], leafs[s])
+                        for s in range(width)]
+            if gated:
+                # VREG-GATED leaf phase (round 5): MT runs only on the
+                # (8,128) vreg groups with at least one lane passing
+                # the leaf's slab test — an EXACT skip (a triangle
+                # inside the leaf AABB cannot be hit at a t the slab
+                # interval excluded; the ungated kernel already relies
+                # on this for whole-packet gating).  Sorted packets
+                # concentrate a leaf's interested lanes in a short
+                # contiguous span (round-4 span stats), so most groups
+                # skip.  Per-group occupancy comes free from the es[s]
+                # values the node phase already computed.
+                if hbm_leaves:
+                    # Wait ONCE per started slot DMA (group conds may
+                    # each skip; an unconsumed semaphore would corrupt
+                    # the slot's next use).
+                    for s in range(width):
+                        @pl.when(leaf_hit[s])
+                        def _(s=s):
+                            row = (-encs[s]).astype(jnp.int32) - 1
+                            _leaf_copy(tris_ref, leaf_scratch,
+                                       leaf_sems, row, s,
+                                       rows_per_leaf).wait()
+                any_leaf = leaf_hit[0]
+                for s in range(1, width):
+                    any_leaf = jnp.logical_or(any_leaf, leaf_hit[s])
+                nv = sub // 8
+
+                def leafwork(hb4):
+                    t_b, tri_b, u_b, v_b = hb4
+                    parts = []
+                    for gi in range(nv):
+                        gsl = slice(gi * 8, gi * 8 + 8)
+                        hb_g = (t_b[gsl], tri_b[gsl], u_b[gsl],
+                                v_b[gsl])
+                        for s in range(width):
+                            occ = jnp.min(es[s][gsl]) < big
+                            hb_g = jax.lax.cond(
+                                jnp.logical_and(leaf_hit[s], occ),
+                                functools.partial(
+                                    lambda cv, a, s=s, gsl=gsl:
+                                    mt_block(
+                                        (-cv).astype(jnp.int32) - 1,
+                                        a, slot=s, gsl=gsl,
+                                        wait=False),
+                                    encs[s]),
+                                lambda a: a,
+                                hb_g,
+                            )
+                        parts.append(hb_g)
+                    return tuple(
+                        jnp.concatenate([p[i] for p in parts])
+                        for i in range(4))
+
                 hb = jax.lax.cond(
-                    jnp.logical_and(hits[s], leafs[s]),
-                    functools.partial(
-                        lambda cv, a, s=s: mt_block(
-                            (-cv).astype(jnp.int32) - 1, a, slot=s),
-                        encs[s]),
-                    lambda a: a,
-                    hb,
-                )
+                    any_leaf, leafwork, lambda a: a,
+                    (t_best, tri_best, u_best, v_best))
+            else:
+                hb = (t_best, tri_best, u_best, v_best)
+                for s in range(width):
+                    hb = jax.lax.cond(
+                        leaf_hit[s],
+                        functools.partial(
+                            lambda cv, a, s=s: mt_block(
+                                (-cv).astype(jnp.int32) - 1, a,
+                                slot=s),
+                            encs[s]),
+                        lambda a: a,
+                        hb,
+                    )
             t_best, tri_best, u_best, v_best = hb
 
             # Internal slots: sort (near first) and push far-to-near.
@@ -1847,9 +1924,10 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "hbm_leaves", "mxu"))
+                   static_argnames=("interpret", "hbm_leaves", "mxu",
+                                    "gated"))
 def _nary_traverse(nodes, tris, rays, *, interpret=False,
-                   hbm_leaves=False, mxu=None):
+                   hbm_leaves=False, mxu=None, gated=False):
     """nodes: (Nw, 8*width) f32 (width inferred from the row width);
     tris: (n_leaves, block*9); rays: (G, 1, 12, PACKET).  Returns
     (G, 1, 4, PACKET).  ``hbm_leaves``: keep the leaf table in HBM
@@ -1924,7 +2002,7 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
     kernel = _make_nary_kernel(n_rows, block, packet, TMIN, width,
                                hbm_leaves=hbm_leaves,
                                mxu_precision=mxu_precision,
-                               rows_per_leaf=rpl)
+                               rows_per_leaf=rpl, gated=gated)
     leaf_row_cost = leaf_row_bytes if mxu else 512 * rpl
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     # The MXU tier materializes a (4*block->128, packet) matmul result
@@ -1945,7 +2023,8 @@ def _nary_traverse(nodes, tris, rays, *, interpret=False,
 def pallas_quad_closest_hit(scene, origin, direction, active=None,
                             interpret=False, seed=None,
                             packet: int = None,
-                            hbm_leaves: bool = False) -> Hit:
+                            hbm_leaves: bool = False,
+                            gated: bool = False) -> Hit:
     """Closest hit via the 4-wide pair-stack kernel (bvh_quad).
 
     VKPT_MT=mxu + a baked ``scene.tri_coefs`` switch the leaf phase
@@ -1987,9 +2066,10 @@ def pallas_quad_closest_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     tri_table = scene.tri_coefs if mxu else scene.tri_blocks
+    gated = gated and not mxu and packet % 1024 == 0
     out = _nary_traverse(scene.bvh_quad, tri_table, rays,
                          interpret=interpret, hbm_leaves=hbm_leaves,
-                         mxu=mxu)
+                         mxu=mxu, gated=gated)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -2020,7 +2100,8 @@ def oct_fits_vmem(scene, budget_bytes: int = None,
 def pallas_oct_closest_hit(scene, origin, direction, active=None,
                            interpret=False, seed=None,
                            packet: int = None,
-                           hbm_leaves: bool = False) -> Hit:
+                           hbm_leaves: bool = False,
+                           gated: bool = False) -> Hit:
     """Closest hit via the 8-wide stack kernel (bvh_oct): a BVH8
     collapse — three binary levels per visit, 8 pipelined cross-lane
     min-reductions, ~half the node table of the quad collapse."""
@@ -2065,7 +2146,8 @@ def pallas_oct_closest_hit(scene, origin, direction, active=None,
     ).reshape(12, g, 1, packet).transpose(1, 2, 0, 3)
 
     out = _nary_traverse(scene.bvh_oct, scene.tri_blocks, rays,
-                         interpret=interpret, hbm_leaves=hbm_leaves)
+                         interpret=interpret, hbm_leaves=hbm_leaves,
+                         gated=gated and packet % 1024 == 0)
     out = out.transpose(2, 0, 1, 3).reshape(4, total)[:, :n]
     t = out[0]
     tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)

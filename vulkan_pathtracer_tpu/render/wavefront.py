@@ -313,14 +313,16 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 tiers = ["quad", "quad_hbm", "oct", "oct_hbm", "pair"]
             else:
                 tiers = ["pair", "quad", "quad_hbm", "oct", "oct_hbm"]
-            if kern in ("quad_hbm", "oct_hbm", "frontier_hbm"):
+            if kern in ("quad_hbm", "oct_hbm", "frontier_hbm",
+                        "vgate_hbm"):
                 # Explicit HBM-streamed-leaf tier (e.g.
                 # VKPT_JOINT_KERNEL=quad_hbm): do NOT fall back to the
                 # in-VMEM twin first — the override exists to keep the
                 # leaf table OUT of VMEM (worker-kill bisect, ROADMAP
                 # round-4 finding 6).
                 tiers = [kern] + [k for k in tiers if k != kern]
-            elif kern in ("oct", "quad", "pair", "frontier"):
+            elif kern in ("oct", "quad", "pair", "frontier",
+                          "vgate"):
                 pref = [kern, kern + "_hbm"]
                 tiers = pref + [k for k in tiers if k not in pref]
             if use_stack and kern != "packet":
@@ -357,12 +359,24 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                     "oct_hbm": (oct_hbm_fits, pallas_oct_closest_hit,
                                 pk_oct, True),
                 }
+                # Round-5 vreg-gated leaf-MT tiers (exact; packet must
+                # be a 1024 multiple — pallas_quad_closest_hit falls
+                # back to ungated otherwise).
+                pk_vg = int(os.environ.get("VKPT_VGATE_PACKET", 4096))
+                calls["vgate"] = (quad_fits_vmem,
+                                  pallas_quad_closest_hit, pk_vg,
+                                  False)
+                calls["vgate_hbm"] = (quad_hbm_fits,
+                                      pallas_quad_closest_hit, pk_vg,
+                                      True)
                 for k in tiers:
                     if k not in calls:
                         continue
                     fits, call, pk, hbm = calls[k]
                     if fits(scene):
                         kw = {"hbm_leaves": True} if hbm else {}
+                        if k in ("vgate", "vgate_hbm"):
+                            kw["gated"] = True
                         return call(
                             scene, origin, direction, active,
                             interpret=not on_tpu, seed=seed, packet=pk,
