@@ -6,7 +6,10 @@
 # at the BENCH_MODE=spp 1080p/B=32 production shape (128-spp slice):
 #
 #   (a) XLA's own scoped-VMEM budget for the surrounding program
-#       (--xla_tpu_scoped_vmem_limit_kib; default ~16 MB class)
+#       (xla_tpu_scoped_vmem_limit_kib via VKPT_XLA_OPTS jit
+#       compiler_options — the axon relay's client-side XLA_FLAGS
+#       parser rejects TPU-only flag names, measured 11:55; options
+#       attached to the jit ship to the remote compiler)
 #   (b) the pallas kernels' scoped-VMEM FLOOR (VKPT_VMEM_FLOOR_MB,
 #       default 16 MB — margin above static need; shrinking hands
 #       VMEM back to the program, raising gives Mosaic headroom)
@@ -49,11 +52,11 @@ run() {
 
 SPP="env BENCH_MODE=spp BENCH_TARGET_SPP=128"
 
-run spp-baseline      2400 $SPP python bench.py
-run spp-xla-vmem-64m  2400 $SPP XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
-run spp-xla-vmem-96m  2400 $SPP XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=98304 python bench.py
+# baseline already captured 11:44 (3.027 spp/s, = plan9 exactly)
+run spp-xla-vmem-64m  2400 $SPP VKPT_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=65536 python bench.py
+run spp-xla-vmem-96m  2400 $SPP VKPT_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=98304 python bench.py
 run spp-floor-8m      2400 $SPP VKPT_VMEM_FLOOR_MB=8 python bench.py
 run spp-floor-48m     2400 $SPP VKPT_VMEM_FLOOR_MB=48 python bench.py
-run spp-xla96-floor8  2400 $SPP VKPT_VMEM_FLOOR_MB=8 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=98304 python bench.py
+run spp-xla96-floor8  2400 $SPP VKPT_VMEM_FLOOR_MB=8 VKPT_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=98304 python bench.py
 
 echo "=== plan14 done $(date -u +%H:%M:%S) ===" >> $L

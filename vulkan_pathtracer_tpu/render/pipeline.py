@@ -296,6 +296,36 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
     return image, rays
 
 
+
+
+def _compiler_options():
+    """Per-jit XLA compile options from VKPT_XLA_OPTS ("k=v,k=v").
+
+    The round-5 VMEM audit needs server-side TPU compiler flags (e.g.
+    xla_tpu_scoped_vmem_limit_kib); the axon relay's CLIENT-side
+    XLA_FLAGS parser rejects TPU-only flag names, but jit
+    compiler_options ship WITH the computation to the remote compiler.
+    Returns None when unset (identical jit behavior/caching).
+    """
+    raw = os.environ.get("VKPT_XLA_OPTS", "")
+    if not raw:
+        return None
+    out = {}
+    for part in raw.split(","):
+        k, _, v = part.partition("=")
+        if not k:
+            continue
+        v = v.strip()
+        if v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        else:
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        out[k.strip()] = v
+    return out or None
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -303,6 +333,7 @@ def render_rows(scene: DeviceScene, position, horizontal, vertical,
         "russian_roulette", "rr_start_bounce", "ray_chunk",
         "sort_secondary", "seed_secondary", "present_order",
     ),
+    compiler_options=_compiler_options(),
 )
 def render_frame(scene: DeviceScene, position, horizontal, vertical,
                  forward, frame, *, num_samples: int, num_bounces: int,
@@ -332,6 +363,7 @@ def render_frame(scene: DeviceScene, position, horizontal, vertical,
         "russian_roulette", "rr_start_bounce", "ray_chunk",
         "sort_secondary", "seed_secondary", "batch",
     ),
+    compiler_options=_compiler_options(),
 )
 def render_frames_batch(scene: DeviceScene, position, horizontal, vertical,
                         forward, frame0, *, batch: int, num_samples: int,
@@ -381,6 +413,7 @@ def render_frames_batch(scene: DeviceScene, position, horizontal, vertical,
         "batch", "num_bounces", "width", "height", "traversal",
         "russian_roulette", "rr_start_bounce", "sort_secondary",
     ),
+    compiler_options=_compiler_options(),
 )
 def render_frames_joint(scene: DeviceScene, position, horizontal,
                         vertical, forward, frame0, *, batch: int,
@@ -453,6 +486,7 @@ def render_frames_joint(scene: DeviceScene, position, horizontal,
         "russian_roulette", "rr_start_bounce", "sort_secondary",
         "ray_chunk",
     ),
+    compiler_options=_compiler_options(),
 )
 def render_frames_pooled(scene: DeviceScene, positions, horizontals,
                          verticals, forwards, frames, *,
