@@ -284,3 +284,27 @@ def test_progressive_batch_identical_with_anyhit_off(atrium_dev,
     np.testing.assert_allclose(np.asarray(c_ns), np.asarray(c_on),
                                rtol=1e-6, atol=1e-6)
     assert float(r_ns) == float(r_on)
+
+
+def test_quad_anyhit_gated_bitexact(cols_dev):
+    """Round-5 vreg-gated any-hit: exact skip — gated output must be
+    identical to ungated in both leaf tiers."""
+    from vulkan_pathtracer_tpu.ops.pallas_pair import (
+        pallas_quad_any_hit,
+    )
+
+    dev = cols_dev
+    rng = np.random.default_rng(11)
+    n = 3000
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    act = jnp.asarray(rng.uniform(size=n) > 0.2)
+    for hbm in (False, True):
+        a = pallas_quad_any_hit(dev, o, d, act, interpret=True,
+                                packet=2048, hbm_leaves=hbm)
+        b = pallas_quad_any_hit(dev, o, d, act, interpret=True,
+                                packet=2048, hbm_leaves=hbm,
+                                gated=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1208,9 +1208,11 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                              tmin: float, width: int,
                              hbm_leaves: bool = False,
                              mxu_precision=None,
-                             rows_per_leaf: int = 1):
+                             rows_per_leaf: int = 1,
+                             gated: bool = False):
     """ANY-HIT variant of the n-ary stack kernel: per-lane state is a
-    single resolved bit instead of (t, tri, u, v).
+    single resolved bit instead of (t, tri, u, v).  ``gated``: vreg-
+    granular leaf MT (round 5; exact — see _make_nary_kernel).
 
     Exactness: a lane resolves iff SOME triangle passes the identical
     Moller-Trumbore accept window (t_near, t_limit) the closest-hit
@@ -1232,6 +1234,9 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
     """
     sub = packet // _LANE
     mxu = mxu_precision is not None
+    if gated:
+        assert not mxu, "gated leaf phase is exact-tier only"
+        assert sub % 8 == 0, "gated needs packet % 1024 == 0"
 
     def kernel(quads_ref, tris_ref, rays_ref, out_ref, stack_ref,
                *rest):
@@ -1259,10 +1264,11 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
         # with their own active set anyway.
         hit0 = jnp.where(tl < 0.0, jnp.float32(1.0), jnp.float32(0.0))
 
-        def mt_block(row, hitf, slot=0):
+        def mt_block(row, hitf, slot=0, gsl=None, wait=True):
             if hbm_leaves:
-                _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
-                           slot, rows_per_leaf).wait()
+                if wait:
+                    _leaf_copy(tris_ref, leaf_scratch, leaf_sems, row,
+                               slot, rows_per_leaf).wait()
                 tread = lambda rr, base: leaf_scratch[
                     slot if rows_per_leaf == 1
                     else slot * rows_per_leaf + rr, base]
@@ -1270,6 +1276,13 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                 tread = lambda rr, base: tris_ref[
                     row if rows_per_leaf == 1
                     else row * rows_per_leaf + rr, base]
+            if gsl is None:
+                gox, goy, goz, gdx, gdy, gdz = ox, oy, oz, dx, dy, dz
+                gtl, gtnear = tl, tnear
+            else:
+                gox, goy, goz = ox[gsl], oy[gsl], oz[gsl]
+                gdx, gdy, gdz = dx[gsl], dy[gsl], dz[gsl]
+                gtl, gtnear = tl[gsl], tnear[gsl]
             sub_b = block // rows_per_leaf
             for k in range(block):
                 rr, kk = divmod(k, sub_b)
@@ -1283,27 +1296,27 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                 e2x = tread(rr, base + 6)
                 e2y = tread(rr, base + 7)
                 e2z = tread(rr, base + 8)
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
+                px = gdy * e2z - gdz * e2y
+                py = gdz * e2x - gdx * e2z
+                pz = gdx * e2y - gdy * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 front = det > 0.0
                 inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
+                tx = gox - v0x
+                ty = goy - v0y
+                tz = goz - v0z
                 u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                v = (gdx * qx + gdy * qy + gdz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 # Accept window identical to the closest-hit kernel's
                 # FIRST accept (t_best starts at MISS_T > tl): any
                 # accepted triangle resolves the lane.
                 acc = (front & (u >= 0.0) & (v >= 0.0)
-                       & (u + v <= 1.0) & (t > tmin) & (t >= tnear)
-                       & (t < tl))
+                       & (u + v <= 1.0) & (t > tmin) & (t >= gtnear)
+                       & (t < gtl))
                 hitf = jnp.maximum(hitf, acc.astype(jnp.float32))
             return hitf
 
@@ -1379,16 +1392,60 @@ def _make_nary_anyhit_kernel(n_rows: int, block: int, packet: int,
                         row = (-encs[s]).astype(jnp.int32) - 1
                         _leaf_copy(tris_ref, leaf_scratch, leaf_sems,
                                    row, s, rows_per_leaf).start()
-            for s in range(width):
-                hitf = jax.lax.cond(
-                    jnp.logical_and(hits[s], leafs[s]),
-                    functools.partial(
-                        lambda cv, h, s=s: mt_block(
-                            (-cv).astype(jnp.int32) - 1, h, slot=s),
-                        encs[s]),
-                    lambda h: h,
-                    hitf,
-                )
+            leaf_hit = [jnp.logical_and(hits[s], leafs[s])
+                        for s in range(width)]
+            if gated:
+                # VREG-GATED leaf phase (see _make_nary_kernel): MT
+                # only on groups with a slab-passing lane; exact.
+                if hbm_leaves:
+                    for s in range(width):
+                        @pl.when(leaf_hit[s])
+                        def _(s=s):
+                            row = (-encs[s]).astype(jnp.int32) - 1
+                            _leaf_copy(tris_ref, leaf_scratch,
+                                       leaf_sems, row, s,
+                                       rows_per_leaf).wait()
+                any_leaf = leaf_hit[0]
+                for s in range(1, width):
+                    any_leaf = jnp.logical_or(any_leaf, leaf_hit[s])
+                nv = sub // 8
+
+                def leafwork(hf):
+                    parts = []
+                    for gi in range(nv):
+                        gsl = slice(gi * 8, gi * 8 + 8)
+                        hf_g = hf[gsl]
+                        for s in range(width):
+                            occ = jnp.min(es[s][gsl]) < big
+                            hf_g = jax.lax.cond(
+                                jnp.logical_and(leaf_hit[s], occ),
+                                functools.partial(
+                                    lambda cv, h, s=s, gsl=gsl:
+                                    mt_block(
+                                        (-cv).astype(jnp.int32) - 1,
+                                        h, slot=s, gsl=gsl,
+                                        wait=False),
+                                    encs[s]),
+                                lambda h: h,
+                                hf_g,
+                            )
+                        parts.append(hf_g)
+                    return jnp.concatenate(parts)
+
+                hitf = jax.lax.cond(any_leaf, leafwork, lambda h: h,
+                                    hitf)
+            else:
+                for s in range(width):
+                    hitf = jax.lax.cond(
+                        leaf_hit[s],
+                        functools.partial(
+                            lambda cv, h, s=s: mt_block(
+                                (-cv).astype(jnp.int32) - 1, h,
+                                slot=s),
+                            encs[s]),
+                        lambda h: h,
+                        hitf,
+                    )
 
             keys = [jnp.where(
                 jnp.logical_and(hits[s], jnp.logical_not(leafs[s])),
@@ -1796,9 +1853,10 @@ def pallas_pair_any_hit(scene, origin, direction, active=None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "hbm_leaves", "mxu"))
+                   static_argnames=("interpret", "hbm_leaves", "mxu",
+                                    "gated"))
 def _nary_anyhit(nodes, tris, rays, *, interpret=False,
-                 hbm_leaves=False, mxu=None):
+                 hbm_leaves=False, mxu=None, gated=False):
     """Any-hit launch: same table/ray layout as _nary_traverse, output
     is one row per packet (resolved flag, 1.0/0.0).  ``mxu``: a
     jax.lax.Precision — tris is then the coefficient table and the
@@ -1858,7 +1916,7 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
     kernel = _make_nary_anyhit_kernel(n_rows, block, packet, TMIN,
                                       width, hbm_leaves=hbm_leaves,
                                       mxu_precision=mxu,
-                                      rows_per_leaf=rpl)
+                                      rows_per_leaf=rpl, gated=gated)
     leaf_row_cost = leaf_row_bytes if mxu else 512 * rpl
     leaf_resident = 0 if hbm_leaves else n_leaves * leaf_row_cost
     # The MXU tier materializes a (4*block->128, packet) matmul result
@@ -1878,7 +1936,8 @@ def _nary_anyhit(nodes, tris, rays, *, interpret=False,
 
 def pallas_quad_any_hit(scene, origin, direction, active=None,
                         interpret=False, packet: int = None,
-                        hbm_leaves: bool = False) -> jnp.ndarray:
+                        hbm_leaves: bool = False,
+                        gated: bool = False) -> jnp.ndarray:
     """Any-hit (occlusion) query via the 4-wide stack kernel: returns
     a (N,) bool — True iff the closest-hit kernel would report a hit
     (t < MISS_T) for that lane.  Inactive lanes return False.
@@ -1915,7 +1974,8 @@ def pallas_quad_any_hit(scene, origin, direction, active=None,
     tri_table = scene.tri_coefs if mxu else scene.tri_blocks
     out = _nary_anyhit(scene.bvh_quad, tri_table, rays,
                        interpret=interpret, hbm_leaves=hbm_leaves,
-                       mxu=mxu)
+                       mxu=mxu,
+                       gated=gated and not mxu and packet % 1024 == 0)
     hitf = out[:, 0, 0, :].reshape(g * packet)[:n]
     hit = hitf > 0.5
     if active is not None:

@@ -480,7 +480,8 @@ def _anyhit_enabled(scene) -> bool:
         # OTHER chunked shape would mix in-VMEM closest+any-hit
         # kernels in one lax.map — the measured worker-kill pattern —
         # so it stays off unless VKPT_ANYHIT_CHUNKED=1 forces it.
-        return _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm")
+        return _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm",
+                                         "vgate_hbm")
     return True
 
 
@@ -516,7 +517,8 @@ def _any_hit(scene, origin, direction, active, traversal: str):
         # worker-kill shape the pin exists to avoid (plan6 bisect),
         # so under the pin dispatch ONLY the HBM any-hit or fall to
         # closest-hit (which honors the pin itself).
-        pin_hbm = _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm")
+        pin_hbm = _UNIFORM_STACK_KERNEL in ("quad_hbm", "oct_hbm",
+                                            "vgate_hbm")
         if not getattr(scene, "instanced", False):
             if pin_hbm:
                 # Only the quad_hbm pin has a same-family any-hit
@@ -524,12 +526,16 @@ def _any_hit(scene, origin, direction, active, traversal: str):
                 # would MIX families in one chunked body (the
                 # worker-kill shape) — fall to closest-hit instead,
                 # which honors the pin itself.
-                if (_UNIFORM_STACK_KERNEL == "quad_hbm"
+                if (_UNIFORM_STACK_KERNEL in ("quad_hbm",
+                                              "vgate_hbm")
                         and quad_hbm_fits(scene, packet=pk)):
+                    # Under the vgate pin the any-hit twin is gated
+                    # too — one kernel structure per chunked body.
                     return pallas_quad_any_hit(
                         scene, origin, direction, active,
                         interpret=not on_tpu, packet=pk,
-                        hbm_leaves=True)
+                        hbm_leaves=True,
+                        gated=_UNIFORM_STACK_KERNEL == "vgate_hbm")
             elif _os.environ.get("VKPT_ANYHIT_KERNEL") == "frontier":
                 # Opt-in 16-wide MXU node-phase any-hit (pending TPU
                 # measurement, like VKPT_KERNEL_*=frontier).
