@@ -129,7 +129,7 @@ def main():
                                     max_leaf_size=int(raygen_leaf))
         print(f"raygen leaf={int(raygen_leaf)}", flush=True)
 
-    if os.environ.get("VARIANTS") == "prim":
+    if os.environ.get("VARIANTS") in ("prim", "vgate_prim"):
         # Tile-ordered PRIMARY rays instead of bounce rays.
         from vulkan_pathtracer_tpu.app.camera_path import orbit_path
         from vulkan_pathtracer_tpu.models.camera import Camera
@@ -540,7 +540,7 @@ def main():
                 dev, o, d, alive, packet=pk, leaf_gate=False)))
             for pk in (2048, 3072, 4096, 5120, 6144)
         ]
-    elif which == "vgate":
+    elif which in ("vgate", "vgate_prim"):
         # Round-5 vreg-gated leaf MT (groupgate_sim modeled 1.33x at
         # pk4096 on these exact rays): gated vs ungated quad across
         # packets, VMEM + HBM leaf tiers.  Checksums must match
@@ -563,6 +563,23 @@ def main():
             ("qhbm pk4096 gated   ", qv(4096, True, True)),
             ("qhbm pk8192 gated   ", qv(8192, True, True)),
         ]
+        if which == "vgate_prim":
+            # Coherent primaries: occupancy per leaf visit is near 1
+            # group, so big gated packets should shine; include the
+            # production primary tier (pair pk4096) as the baseline.
+            from vulkan_pathtracer_tpu.ops.pallas_pair import (
+                pallas_pair_closest_hit,
+            )
+
+            variants = [
+                ("pair pk4096 (prod)  ", lambda:
+                 pallas_pair_closest_hit(dev, o, d, alive,
+                                         packet=4096)),
+                ("quad pk4096 ungated ", qv(4096, False, False)),
+                ("quad pk4096 gated   ", qv(4096, False, True)),
+                ("quad pk8192 gated   ", qv(8192, False, True)),
+                ("quad pk16384 gated  ", qv(16384, False, True)),
+            ]
     elif which == "pair":
         # Pair-stack BVH2 kernel vs the preorder packet kernel on the
         # SAME (6d-sorted) rays: two sibling boxes per visit, twin

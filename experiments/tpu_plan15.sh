@@ -53,4 +53,7 @@ run() {
 run vgate-ab-leaf28 3600 env VARIANTS=vgate AB_LEAF=28 AB_RAYGEN_LEAF=14 REPS=3 \
   python experiments/leaf_gate_ab.py
 
+run vgate-prim-leaf28 3600 env VARIANTS=vgate_prim AB_LEAF=28 AB_RAYGEN_LEAF=14 REPS=3 \
+  python experiments/leaf_gate_ab.py
+
 echo "=== plan15 done $(date -u +%H:%M:%S) ===" >> $L
