@@ -124,3 +124,38 @@ def test_size_keyed_leaf_policy():
     assert default_max_leaf(LEAF28_MIN_TRIS - 1) == 14
     assert default_max_leaf(LEAF28_MIN_TRIS) == 28
     assert default_max_leaf(3_300_000) == 28
+
+
+def test_vgate_pin_counts_as_hbm_family(small_dev, monkeypatch):
+    """vgate_hbm pin: counted as an HBM-leaf family by the chunked
+    any-hit gate (same worker-kill constraint as quad_hbm)."""
+    monkeypatch.setattr(small_dev, "emissive_free", True)
+    with wf.uniform_stack_kernel("vgate_hbm"):
+        assert wf._anyhit_enabled(small_dev)
+    with wf.uniform_stack_kernel("vgate"):
+        assert not wf._anyhit_enabled(small_dev)
+
+
+def test_joint_vgate_pin_matches_quad_pin(request, monkeypatch):
+    """A VKPT_JOINT_KERNEL=vgate_hbm pin must produce the same joint
+    radiance as the quad_hbm pin (the gated kernel is an exact skip of
+    the same quad-table MT)."""
+    import numpy as np
+
+    from vulkan_pathtracer_tpu.models.camera import Camera
+    from vulkan_pathtracer_tpu.render.pipeline import RenderPipeline
+    from vulkan_pathtracer_tpu.utils.config import RenderConfig
+
+    scene = gltf.load(request.getfixturevalue("columns_glb"))
+    dev = build_device_scene(scene, build_bvh=True, max_leaf_size=14)
+    config = RenderConfig(num_samples=1, num_bounces=2,
+                          resolution_x=48, resolution_y=32)
+    cam = Camera(aspect_ratio=config.aspect_ratio)
+    pipe = RenderPipeline(dev, config)
+
+    monkeypatch.setenv("VKPT_JOINT_KERNEL", "quad_hbm")
+    a, ra = pipe.render_batch_sum(cam, 0, 2, joint=True)
+    monkeypatch.setenv("VKPT_JOINT_KERNEL", "vgate_hbm")
+    b, rb = pipe.render_batch_sum(cam, 0, 2, joint=True)
+    assert float(ra) == float(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
