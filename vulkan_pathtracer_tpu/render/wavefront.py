@@ -290,9 +290,20 @@ def _closest_hit(scene, origin, direction, active, traversal: str,
                 pk_oct = int(os.environ.get(
                     "VKPT_OCT_PACKET_SECONDARY", 2048))
             else:
-                kern = os.environ.get("VKPT_KERNEL_PRIMARY", "pair")
+                # Default primary tier is leaf-keyed (plan15, real
+                # TPU, 2.07M tile-ordered primaries on the 246k
+                # atrium): at leaf 14 pair pk4096 wins (61.5 ms vs
+                # quad 63.4-77.7, round-3); at the leaf-28 production
+                # default quad pk4096 wins (73.2 ms vs pair 83.5 =
+                # 1.14x) — the doubled per-leaf scalar chain hurts
+                # the 2-wide kernel more than the 4-wide one.
+                default_prim = ("pair" if getattr(
+                    scene, "max_leaf_size", 14) <= 14 else "quad")
+                kern = os.environ.get("VKPT_KERNEL_PRIMARY",
+                                      default_prim)
                 pk_quad = int(os.environ.get(
-                    "VKPT_QUAD_PACKET_PRIMARY", 3072))
+                    "VKPT_QUAD_PACKET_PRIMARY",
+                    3072 if default_prim == "pair" else 4096))
                 pk_pair = int(os.environ.get(
                     "VKPT_PAIR_PACKET_PRIMARY", 4096))
                 pk_oct = int(os.environ.get(
