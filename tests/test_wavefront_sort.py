@@ -104,3 +104,34 @@ def test_render_with_and_without_compaction(box_glb):
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
                                atol=1e-6)
     assert float(rays_a) == float(rays_b)
+
+
+def test_laxsort_permute_identical(monkeypatch):
+    """VKPT_PERMUTE=laxsort replaces argsort + row gather with one
+    fused lax.sort carrying the payload columns.  With unique keys the
+    two orderings are bit-identical; laxsort only differs (legally) in
+    tie order across equal keys."""
+    from vulkan_pathtracer_tpu.ops.sort import permute_rows
+
+    rng = np.random.default_rng(3)
+    m, k = 4096, 16
+    key = jnp.asarray(rng.permutation(m).astype(np.uint32))
+    state = jnp.asarray(rng.random((m, k), dtype=np.float32))
+
+    monkeypatch.delenv("VKPT_PERMUTE", raising=False)
+    ref = np.asarray(permute_rows(state, key, 1))
+    monkeypatch.setenv("VKPT_PERMUTE", "laxsort")
+    got = np.asarray(permute_rows(state, key, 1))
+    np.testing.assert_array_equal(ref, got)
+
+    # Duplicate keys: rows must be key-grouped and a permutation of
+    # the input (scheduling-only contract).
+    dup = jnp.asarray((rng.integers(0, 7, size=m)).astype(np.uint32))
+    got_dup = np.asarray(permute_rows(state, dup, 1))
+    order = np.argsort(np.asarray(dup), kind="stable")
+    np.testing.assert_array_equal(
+        np.sort(got_dup, axis=0), np.sort(np.asarray(state)[order], axis=0))
+    # c>1 ignores the knob (group gather path unchanged).
+    grp = np.asarray(permute_rows(state, key, 16))
+    monkeypatch.delenv("VKPT_PERMUTE")
+    np.testing.assert_array_equal(grp, np.asarray(permute_rows(state, key, 16)))

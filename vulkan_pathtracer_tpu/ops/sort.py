@@ -38,11 +38,22 @@ from __future__ import annotations
 import os
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def sort_chunk() -> int:
     """Group size for wavefront sorts (VKPT_SORT_CHUNK, default 1)."""
     return int(os.environ.get("VKPT_SORT_CHUNK", "1"))
+
+
+def permute_mode() -> str:
+    """VKPT_PERMUTE: 'gather' (default, argsort + row gather) or
+    'laxsort' (one fused comparator sort carrying the payload columns
+    as extra lax.sort operands — measured 1.34x on the whole ordering
+    step at 2M lanes, experiments/joint_sort_cost.py).  laxsort is
+    unstable across equal keys; per-lane results are exact under any
+    order (ordering is scheduling-only), so this is a perf knob."""
+    return os.environ.get("VKPT_PERMUTE", "gather")
 
 
 def state_sort_order(key, c: int):
@@ -60,7 +71,13 @@ def state_sort_order(key, c: int):
 
 def permute_rows(state, key, c: int):
     """Reorder a packed (M, K) row matrix so equal/nearby keys become
-    contiguous; uses the big-row gather when c > 1."""
+    contiguous; uses the big-row gather when c > 1.  With
+    VKPT_PERMUTE=laxsort (and c == 1) the argsort + (M, K) row gather
+    is replaced by one lax.sort carrying the K payload columns."""
+    if c <= 1 and permute_mode() == "laxsort":
+        cols = tuple(state[:, i] for i in range(state.shape[1]))
+        out = lax.sort((key,) + cols, num_keys=1)
+        return jnp.stack(out[1:], axis=1)
     gorder, lane = state_sort_order(key, c)
     if gorder is None:
         return state[lane]
