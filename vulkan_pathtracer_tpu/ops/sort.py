@@ -28,6 +28,13 @@ min-over-reps; ROADMAP round-3):
    the previous bounce's sort afterwards), so packet quality loss is
    small (experiments/leaf_gate_ab.py VARIANTS=csort).
 
+4. A single lax.sort carrying the 16 payload columns as extra
+   operands beats argsort+gather end to end: 59.3 vs 79.3 ms at 2M
+   lanes (experiments/joint_sort_cost.py, round 5) — the comparator
+   network moves the payload during the sort instead of paying the
+   64B-row random gather afterwards.  Opt-in via VKPT_PERMUTE=laxsort
+   (c == 1 only); default flips only after a joint-density TPU A/B.
+
 ``sort_chunk()`` reads VKPT_SORT_CHUNK (1 = exact lane sort).
 Results are bit-exact per-lane under ANY order: ordering is
 scheduling-only (tests/test_wavefront_sort.py).
