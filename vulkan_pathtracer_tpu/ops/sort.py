@@ -30,10 +30,12 @@ min-over-reps; ROADMAP round-3):
 
 4. A single lax.sort carrying the 16 payload columns as extra
    operands beats argsort+gather end to end: 59.3 vs 79.3 ms at 2M
-   lanes (experiments/joint_sort_cost.py, round 5) — the comparator
-   network moves the payload during the sort instead of paying the
-   64B-row random gather afterwards.  Opt-in via VKPT_PERMUTE=laxsort
-   (c == 1 only); default flips only after a joint-density TPU A/B.
+   lanes (1.34x), 403.9 vs 460.0 ms at 16.6M (1.14x — the edge
+   narrows with width; experiments/joint_sort_cost.py, round 5).
+   The comparator network moves the payload during the sort instead
+   of paying the 64B-row random gather afterwards.  Opt-in via
+   VKPT_PERMUTE=laxsort (c == 1 only); default flips only after a
+   joint-density TPU A/B.
 
 ``sort_chunk()`` reads VKPT_SORT_CHUNK (1 = exact lane sort).
 Results are bit-exact per-lane under ANY order: ordering is
